@@ -1,0 +1,272 @@
+"""Core MDLM (masked discrete diffusion) math as pure JAX functions.
+
+Functional, where-based rewrites of the in-place tensor surgery in the
+reference (/root/reference/diffusion_gosai.py): SUBS / D3PM / SEDD
+parameterizations (:286-337), forward masking q_xt (:738-749), the
+Gumbel categorical sampler (:30-34), the continuous-time NELBO
+(:1709-1779), the analytic-sampler score machinery (:1581-1657), and
+antithetic time sampling (:1660-1669).
+
+Everything here is shape-polymorphic and jit/vmap/scan-safe: no Python
+control flow on traced values, no in-place mutation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+NEG_INFINITY = -1_000_000.0
+
+
+# ---------------------------------------------------------------------------
+# Categorical sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_categorical(key: jax.Array, log_probs: Array) -> Array:
+  """Gumbel-max draw from (possibly unnormalized) log-probabilities.
+
+  Log-space equivalent of the reference's ``argmax(p / (-log U))`` trick
+  (diffusion_gosai.py:30-34): for U ~ Uniform, -log(-log U) is Gumbel(0,1)
+  and argmax(p/g) == argmax(log p + Gumbel) in distribution.
+
+  Zero-probability categories must be encoded as -inf (or NEG_INFINITY)
+  in ``log_probs``.
+  """
+  gumbel = jax.random.gumbel(key, log_probs.shape, dtype=jnp.float32)
+  return jnp.argmax(log_probs + gumbel, axis=-1)
+
+
+def sample_categorical_probs(key: jax.Array, probs: Array) -> Array:
+  """Gumbel-max draw from (possibly unnormalized) probabilities."""
+  return sample_categorical(key, jnp.log(jnp.maximum(probs, 1e-35)))
+
+
+# ---------------------------------------------------------------------------
+# Parameterizations
+# ---------------------------------------------------------------------------
+
+
+def subs_parameterization(logits: Array, xt: Array, mask_index: int) -> Array:
+  """SUBS: zero-mask-probability + carry-over-unmasked log-probs.
+
+  Functional equivalent of diffusion_gosai.py:286-304. Returns
+  normalized log p(x0 | xt) with (a) p(mask) = 0 everywhere and
+  (b) already-unmasked positions pinned to a one-hot at their token.
+  """
+  logits = logits.at[..., mask_index].add(NEG_INFINITY)
+  logits = logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+  vocab = logits.shape[-1]
+  onehot_loglik = jnp.where(
+      jax.nn.one_hot(xt, vocab, dtype=jnp.bool_), 0.0, NEG_INFINITY)
+  unmasked = (xt != mask_index)[..., None]
+  return jnp.where(unmasked, onehot_loglik, logits)
+
+
+def d3pm_parameterization(logits: Array, mask_index: int,
+                          subs_masking: bool = False) -> Array:
+  """D3PM: plain log-softmax, optionally with mask-prob zeroed
+  (diffusion_gosai.py:306-311)."""
+  if subs_masking:
+    logits = logits.at[..., mask_index].add(NEG_INFINITY)
+  return logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+
+
+def sedd_parameterization(logits: Array, xt: Array, sigma: Array) -> Array:
+  """SEDD log-score parameterization (diffusion_gosai.py:313-328).
+
+  sigma: shape (B,) total noise at the input timestep.
+  """
+  esigm1_log = jnp.log(jnp.where(sigma < 0.5,
+                                 jnp.expm1(sigma),
+                                 jnp.exp(sigma) - 1)).astype(logits.dtype)
+  vocab = logits.shape[-1]
+  logits = (logits - esigm1_log[:, None, None]
+            - jnp.log(jnp.asarray(vocab - 1, logits.dtype)))
+  # log score at the current token is 0
+  return jnp.where(jax.nn.one_hot(xt, vocab, dtype=jnp.bool_), 0.0, logits)
+
+
+# ---------------------------------------------------------------------------
+# Forward process
+# ---------------------------------------------------------------------------
+
+
+def q_xt(key: jax.Array, x0: Array, move_chance: Array,
+         mask_index: int) -> Array:
+  """Forward masking: independently replace tokens by MASK w.p. move_chance.
+
+  move_chance broadcasts against x0's shape (reference passes (B, 1);
+  diffusion_gosai.py:738-749).
+  """
+  move = jax.random.uniform(key, x0.shape) < move_chance
+  return jnp.where(move, mask_index, x0)
+
+
+def sample_prior(batch_dims: Tuple[int, ...], mask_index: int) -> Array:
+  """All-MASK prior x_1 (diffusion_gosai.py:751-753)."""
+  return jnp.full(batch_dims, mask_index, dtype=jnp.int32)
+
+
+def sample_t(key: jax.Array, n: int, sampling_eps: float,
+             antithetic: bool = True) -> Array:
+  """Draw training timesteps, optionally antithetic (low-discrepancy)
+  across the batch (diffusion_gosai.py:1660-1669)."""
+  eps_t = jax.random.uniform(key, (n,))
+  if antithetic:
+    offset = jnp.arange(n, dtype=jnp.float32) / n
+    eps_t = (eps_t / n + offset) % 1
+  return (1 - sampling_eps) * eps_t + sampling_eps
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+class LossOutput(NamedTuple):
+  loss: Array        # scalar token-mean NLL
+  nlls: Array        # (B, L) per-token NLL * mask
+  token_mask: Array  # (B, L)
+
+
+def nelbo_subs(log_p_x0: Array, x0: Array, sigma: Array, dsigma: Array,
+               attention_mask: Array | None = None) -> LossOutput:
+  """Continuous-time SUBS NELBO: -log p_theta(x0)|_{x0} * dsigma/expm1(sigma)
+  (diffusion_gosai.py:1744-1757, 1766-1779)."""
+  log_p_theta = jnp.take_along_axis(
+      log_p_x0, x0[..., None], axis=-1)[..., 0]
+  loss = -log_p_theta * (dsigma / jnp.expm1(sigma))[:, None]
+  if attention_mask is None:
+    attention_mask = jnp.ones_like(loss)
+  nlls = loss * attention_mask
+  count = attention_mask.sum()
+  return LossOutput(nlls.sum() / count, nlls, attention_mask)
+
+
+def d3pm_loss(model_output: Array, xt: Array, x0: Array, t: Array,
+              mask_index: int, T: int) -> Array:
+  """Discrete-time D3PM VLB term (diffusion_gosai.py:379-407).
+
+  Returns per-token loss of shape (B, L); t has shape (B,).
+  """
+  dt = 1.0 / T
+  t = jnp.clip(t[:, None], 0.0, 1.0 - 1e-4)
+  alpha_t = 1 - t
+  alpha_s = 1 - (t - dt)
+
+  log_x_theta_at_x0 = jnp.take_along_axis(
+      model_output, x0[..., None], axis=-1)[..., 0]
+  log_x_theta_at_m = model_output[..., mask_index]
+  x_theta_at_m = jnp.exp(log_x_theta_at_m)
+
+  term_1_coef = dt / t
+  term_1_log_nr = jnp.log(alpha_t * x_theta_at_m / t + 1)
+  term_1_log_dr = log_x_theta_at_x0
+
+  term_2_coef = 1 - dt / t
+  term_2_log_nr = term_1_log_nr
+  term_2_log_dr = jnp.log(alpha_s * x_theta_at_m / (t - dt) + 1)
+
+  L_vb_masked = (term_1_coef * (term_1_log_nr - term_1_log_dr)
+                 + term_2_coef * (term_2_log_nr - term_2_log_dr))
+  return T * L_vb_masked * (xt == mask_index)
+
+
+def score_entropy(log_score: Array, sigma: Array, xt: Array, x0: Array,
+                  mask_index: int) -> Array:
+  """SEDD score-entropy loss over masked positions
+  (diffusion_gosai.py:1781-1820). Returns (B, L)."""
+  masked = xt == mask_index
+  expsig_minus_1 = jnp.expm1(sigma)            # (B, 1) or (B,)
+  if expsig_minus_1.ndim == 1:
+    expsig_minus_1 = expsig_minus_1[:, None]
+  q_ratio = 1.0 / expsig_minus_1               # (B, 1)
+
+  neg_term = q_ratio * jnp.take_along_axis(
+      log_score, x0[..., None], axis=-1)[..., 0]
+  score = jnp.exp(log_score)
+  # sum over vocab excluding the mask column
+  vocab = log_score.shape[-1]
+  not_mask_col = jnp.arange(vocab) != mask_index
+  pos_term = jnp.sum(score * not_mask_col, axis=-1)
+  const = q_ratio * (jnp.log(q_ratio) - 1)
+
+  entropy = pos_term - neg_term + const
+  return jnp.where(masked, entropy, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Reverse-step densities (ddpm / analytic machinery)
+# ---------------------------------------------------------------------------
+
+
+def log_q_xs(log_p_x0: Array, move_chance_t: Array, move_chance_s: Array,
+             mask_index: int) -> Array:
+  """Unnormalized reverse-transition log-density for the SUBS/ddpm step.
+
+  Log-space version of ``q_xs = p_x0 (mct - mcs); q_xs[mask] = mcs``
+  (diffusion_gosai.py:793-797). move_chance_* are scalars (the sampler
+  uses one shared t per step, as the reference does with
+  ``timesteps[i] * ones(B, 1)``).
+  """
+  move_chance_t = jnp.asarray(move_chance_t).reshape(())
+  move_chance_s = jnp.asarray(move_chance_s).reshape(())
+  log_qs = log_p_x0 + jnp.log(move_chance_t - move_chance_s)
+  return log_qs.at[..., mask_index].set(jnp.log(move_chance_s))
+
+
+def get_score(log_p_x0: Array, x: Array, sigma: Array,
+              mask_index: int) -> Array:
+  """SUBS score exp(log p_t(y)/p_t(x)) for the analytic sampler
+  (diffusion_gosai.py:1581-1624). sigma: (B,) or (B,1)."""
+  if sigma.ndim > 1:
+    sigma = jnp.squeeze(sigma, -1)
+  log_k = -jnp.log(jnp.expm1(sigma))           # (B,)
+  vocab = log_p_x0.shape[-1]
+
+  masked_score = log_p_x0 + log_k[:, None, None]
+  masked_score = masked_score.at[..., mask_index].set(0.0)
+
+  onehot = jax.nn.one_hot(x, vocab, dtype=jnp.bool_)
+  unmasked_score = jnp.where(onehot, 0.0, NEG_INFINITY)
+  unmasked_score = unmasked_score.at[..., mask_index].set(
+      -log_k[:, None] * jnp.ones_like(x, jnp.float32))
+
+  masked = (x == mask_index)[..., None]
+  return jnp.exp(jnp.where(masked, masked_score, unmasked_score))
+
+
+def staggered_score(score: Array, dsigma: Array, mask_index: int) -> Array:
+  """(diffusion_gosai.py:1626-1631). dsigma: (B,) or (B,1)."""
+  if dsigma.ndim == 1:
+    dsigma = dsigma[:, None]
+  extra_const = (1 - jnp.exp(dsigma)) * score.sum(axis=-1)   # (B, L)
+  score = score * jnp.exp(dsigma)[..., None]
+  return score.at[..., mask_index].add(extra_const)
+
+
+def transp_transition(i: Array, sigma: Array, vocab_size: int,
+                      mask_index: int) -> Array:
+  """(diffusion_gosai.py:1651-1657). i: (B, L) tokens; sigma (B,) or (B,1)."""
+  if sigma.ndim == 1:
+    sigma = sigma[:, None]
+  sigma = sigma[..., None]                     # (B, 1, 1)
+  edge = jnp.exp(-sigma) * jax.nn.one_hot(i, vocab_size)
+  edge = edge + jnp.where(i == mask_index,
+                          1 - jnp.exp(-sigma)[..., 0],
+                          0.0)[..., None]
+  return edge
+
+
+def transform_samples(samples: Array, num_classes: int = 4) -> Array:
+  """Tokens -> one-hot with MASK rows zeroed (Enformer.py:269-277,
+  diffusion_gosai.py:1462-1470). Input values == num_classes are MASK."""
+  mask = samples != num_classes
+  onehot = jax.nn.one_hot(jnp.where(mask, samples, 0), num_classes)
+  return onehot * mask[..., None]

@@ -1,0 +1,115 @@
+"""CNN denoiser backbone (default for both bio tasks).
+
+TPU-native flax rebuild of the reference CNNModel / PromoterModel
+(/root/reference/models/dnaconv.py:135-247; selected by
+``backbone: cnn`` in configs_gosai/config_gosai.yaml:12). Channel-last
+(B, L, C) layout throughout so XLA lowers the dilated 1-D convs onto the
+MXU as batched matmuls without transposes.
+
+Architecture parity notes:
+  * 5 * num_cnn_stacks dilated convs, k=9, dilation pattern
+    [1, 1, 4, 16, 64] with each distinct conv repeated ``num_cnn_stacks``
+    times *consecutively* (dnaconv.py:156-161 builds
+    ``[copy.deepcopy(l) for l in convs for _ in range(stacks)]`` —
+    layer varies slowly).
+  * per-layer time injection h + Dense(time_emb) (dnaconv.py:196-199)
+  * LayerNorm over channels, ReLU conv, residual add (dnaconv.py:200-205)
+  * final 1x1 conv -> ReLU -> 1x1 conv to vocab (dnaconv.py:164-166)
+  * GaussianFourierProjection time features with frozen random weights
+    (dnaconv.py:8-21) — stored in the 'buffers' collection, never
+    updated by the optimizer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from svdd_tpu.config import Config
+
+Array = jnp.ndarray
+
+
+class GaussianFourierProjection(nn.Module):
+  """Random-feature time encoding (dnaconv.py:8-21). W is a frozen
+  buffer, matching ``requires_grad=False`` in the reference."""
+  embed_dim: int
+  scale: float = 30.0
+
+  @nn.compact
+  def __call__(self, t: Array) -> Array:
+    w = self.variable(
+        'buffers', 'W',
+        lambda: self.scale * jax.random.normal(
+            self.make_rng('params'), (self.embed_dim // 2,)))
+    x_proj = t[:, None] * w.value[None, :] * 2 * jnp.pi
+    return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class CNNModel(nn.Module):
+  """Dilated-conv MDLM denoiser (dnaconv.py:135-247).
+
+  Input: int tokens (B, L) (or one-hot (B, L, V) via ``x_onehot``, the
+  ``forward2`` path used by DPS gradient guidance, dnaconv.py:212-247).
+  Output: logits (B, L, V).
+  """
+  config: Config
+  alphabet_size: int = 5
+  num_cls: int = 3
+  classifier: bool = False
+  compute_dtype: jnp.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, seq: Array, sigma: Array, *,
+               x_onehot: Optional[Array] = None,
+               train: bool = False) -> Array:
+    mcfg = self.config.model
+    hidden = mcfg.hidden_dim
+    num_layers = 5 * mcfg.num_cnn_stacks
+    dtype = self.compute_dtype
+
+    if x_onehot is None:
+      feat = jax.nn.one_hot(seq, self.alphabet_size, dtype=dtype)
+    else:
+      feat = x_onehot.astype(dtype)
+
+    # time embedding: relu(Linear(GFP(sigma)))
+    t_feats = GaussianFourierProjection(embed_dim=hidden)(sigma)
+    time_emb = jax.nn.relu(
+        nn.Dense(hidden, dtype=dtype, name='time_linear')(
+            t_feats.astype(dtype)))
+
+    feat = jax.nn.relu(
+        nn.Conv(hidden, (9,), padding='SAME', dtype=dtype,
+                name='stem')(feat))
+
+    # dilation varies slowly: [1]*s + [1]*s + [4]*s + [16]*s + [64]*s
+    dilations = [d for d in (1, 1, 4, 16, 64)
+                 for _ in range(mcfg.num_cnn_stacks)]
+    assert len(dilations) == num_layers
+
+    for i, dilation in enumerate(dilations):
+      h = nn.Dropout(mcfg.dropout, deterministic=not train)(feat)
+      h = h + nn.Dense(hidden, dtype=dtype, name=f'time_{i}')(
+          time_emb)[:, None, :]
+      h = nn.LayerNorm(dtype=dtype, name=f'norm_{i}')(h)
+      h = jax.nn.relu(
+          nn.Conv(hidden, (9,), kernel_dilation=(dilation,),
+                  padding='SAME', dtype=dtype, name=f'conv_{i}')(h))
+      feat = h + feat
+
+    feat = nn.Conv(hidden, (1,), dtype=dtype, name='final_0')(feat)
+    feat = jax.nn.relu(feat)
+    out_dim = hidden if self.classifier else self.alphabet_size
+    feat = nn.Conv(out_dim, (1,), dtype=dtype, name='final_1')(feat)
+
+    if self.classifier:
+      feat = feat.mean(axis=1)
+      feat = nn.Dense(hidden, dtype=dtype, name='cls_0')(feat)
+      feat = jax.nn.relu(feat)
+      feat = nn.Dense(self.num_cls, dtype=dtype, name='cls_1')(feat)
+      return feat.astype(jnp.float32)
+    return feat.astype(jnp.float32)
