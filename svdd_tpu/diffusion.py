@@ -1,0 +1,292 @@
+"""The Diffusion model: backbone + schedule + parameterization + samplers.
+
+TPU-native counterpart of the reference ``Diffusion(L.LightningModule)``
+(/root/reference/diffusion_gosai.py:74-1888). Instead of a stateful
+LightningModule, this is a thin immutable bundle of (config, flax
+backbone, schedule) exposing pure jitted functions:
+
+  forward / forward_onehot   — log p(x0|xt) with parameterization
+                               (diffusion_gosai.py:339-378)
+  loss                       — NELBO / D3PM / SEDD training loss
+                               (:1709-1779)
+  sample / decode_sample     — uncontrolled reverse process (:821-936)
+  controlled_sample          — SVDD-MC (:1022-1062)
+  controlled_sample_tweedie  — SVDD-PM (:1106-1145)
+  controlled_sample_TDS/_DPS/_classfier — baselines (:938-1104)
+
+All samplers are single jitted lax.scan programs (sampling/sampler.py);
+guidance plugs in as step transforms (sampling/guidance.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from svdd_tpu import mdlm, schedules
+from svdd_tpu.config import Config
+from svdd_tpu.models.cnn import CNNModel
+from svdd_tpu.sampling import guidance as G
+from svdd_tpu.sampling import sampler as S
+
+Array = jnp.ndarray
+
+
+def build_backbone(config: Config):
+  """Backbone factory (diffusion_gosai.py:96-127)."""
+  dtype = (jnp.bfloat16 if config.parallel.precision == 'bf16'
+           else jnp.float32)
+  if config.backbone == 'cnn':
+    return CNNModel(config=config, alphabet_size=config.vocab_size,
+                    num_cls=3, compute_dtype=jnp.float32)
+    # NB reference runs the CNN under autocast(float32)
+    # (diffusion_gosai.py:345); DiT runs bf16.
+  if config.backbone == 'dit':
+    from svdd_tpu.models.dit import DIT
+    return DIT(config=config, vocab_size=config.vocab_size,
+               compute_dtype=dtype)
+  if config.backbone == 'dimamba':
+    from svdd_tpu.models.dimamba import DiMamba
+    return DiMamba(config=config, vocab_size=config.vocab_size,
+                   compute_dtype=dtype)
+  if config.backbone == 'ar':
+    from svdd_tpu.models.autoregressive import ARModel
+    return ARModel(config=config, vocab_size=config.vocab_size,
+                   compute_dtype=dtype)
+  raise ValueError(f'unknown backbone {config.backbone}')
+
+
+class Diffusion:
+  """Immutable model bundle; all methods are pure given ``variables``."""
+
+  def __init__(self, config: Config, variables: Any | None = None,
+               rng: jax.Array | None = None):
+    self.config = config
+    self.vocab_size = config.vocab_size
+    self.mask_index = config.mask_index
+    self.parameterization = config.parameterization
+    self.time_conditioning = config.time_conditioning
+    self.T = config.T
+    self.backbone = build_backbone(config)
+    self.schedule = schedules.get_schedule(
+        config.noise.type, sigma_min=config.noise.sigma_min,
+        sigma_max=config.noise.sigma_max, eps=config.noise.eps)
+    if variables is None:
+      if rng is None:
+        rng = jax.random.key(config.seed)
+      dummy = jnp.zeros((1, config.model.length), jnp.int32)
+      variables = self.backbone.init(rng, dummy, jnp.zeros((1,)))
+    self.variables = variables
+
+  # -- denoiser forwards ----------------------------------------------------
+
+  def _process_sigma(self, sigma: Array) -> Array:
+    """time_conditioning=False zeroes sigma (diffusion_gosai.py:329-337) —
+    the default for both bio tasks."""
+    if sigma.ndim > 1:
+      sigma = jnp.squeeze(sigma, -1)
+    if not self.time_conditioning:
+      sigma = jnp.zeros_like(sigma)
+    return sigma
+
+  def _parameterize(self, logits: Array, xt: Array, sigma: Array) -> Array:
+    if self.parameterization == 'subs':
+      return mdlm.subs_parameterization(logits, xt, self.mask_index)
+    if self.parameterization == 'sedd':
+      return mdlm.sedd_parameterization(logits, xt, sigma)
+    if self.parameterization == 'd3pm':
+      return mdlm.d3pm_parameterization(
+          logits, self.mask_index, self.config.subs_masking)
+    return logits   # 'ar'
+
+  def forward(self, variables: Any, x: Array, sigma: Array) -> Array:
+    """log p(x0 | xt): backbone + parameterization (:339-357)."""
+    sigma = self._process_sigma(sigma)
+    logits = self.backbone.apply(variables, x, sigma)
+    return self._parameterize(logits, x, sigma)
+
+  def forward_onehot(self, variables: Any, x_onehot: Array, x: Array,
+                     sigma: Array) -> Array:
+    """'forward2': one-hot input for gradient guidance (:359-378)."""
+    sigma = self._process_sigma(sigma)
+    logits = self.backbone.apply(variables, x, sigma, x_onehot=x_onehot)
+    return self._parameterize(logits, x, sigma)
+
+  def denoise_fn(self, variables: Any | None = None) -> S.DenoiseFn:
+    variables = self.variables if variables is None else variables
+    return lambda x, sigma: self.forward(variables, x, sigma)
+
+  def denoise_onehot_fn(self, variables: Any | None = None):
+    variables = self.variables if variables is None else variables
+    return lambda oh, x, sigma: self.forward_onehot(variables, oh, x,
+                                                    sigma)
+
+  # -- training loss --------------------------------------------------------
+
+  def loss(self, variables: Any, key: jax.Array, x0: Array,
+           attention_mask: Array | None = None,
+           train: bool = False, dropout_rng: jax.Array | None = None
+           ) -> mdlm.LossOutput:
+    """Diffusion training loss (_loss/_forward_pass_diffusion,
+    diffusion_gosai.py:1709-1779)."""
+    cfg = self.config
+    kt, kq = jax.random.split(key)
+    t = mdlm.sample_t(kt, x0.shape[0], cfg.training.sampling_eps,
+                      cfg.training.antithetic_sampling)
+    if cfg.training.importance_sampling:
+      t = self.schedule.importance_transform(t)
+    if self.T > 0:
+      t = (t * self.T).astype(jnp.int32).astype(jnp.float32) / self.T
+      t = t + 1.0 / self.T
+
+    sigma, dsigma = self.schedule(t)
+    move_chance = (1 - jnp.exp(-sigma))[:, None]
+    xt = mdlm.q_xt(kq, x0, move_chance, self.mask_index)
+
+    sigma_in = self._process_sigma(sigma)
+    rngs = {'dropout': dropout_rng} if dropout_rng is not None else None
+    logits = self.backbone.apply(variables, xt, sigma_in, train=train,
+                                 rngs=rngs)
+    model_output = self._parameterize(logits, xt, sigma)
+
+    if self.parameterization == 'sedd':
+      loss = dsigma[:, None] * mdlm.score_entropy(
+          model_output, sigma[:, None], xt, x0, self.mask_index)
+    elif self.T > 0:
+      loss = mdlm.d3pm_loss(model_output, xt, x0, t, self.mask_index,
+                            self.T)
+      if self.parameterization == 'd3pm':
+        # reconstruction term (diffusion_gosai.py:1697-1707)
+        t0 = jnp.zeros(x0.shape[0])
+        sigma_t0 = self.schedule.total(t0)
+        logits0 = self.backbone.apply(
+            variables, x0, self._process_sigma(sigma_t0), train=train,
+            rngs=rngs)
+        out0 = self._parameterize(logits0, x0, sigma_t0)
+        recon = -jnp.take_along_axis(out0, x0[..., None], -1)[..., 0]
+        loss = loss + recon
+    else:
+      return mdlm.nelbo_subs(model_output, x0, sigma, dsigma,
+                             attention_mask)
+
+    if attention_mask is None:
+      attention_mask = jnp.ones_like(loss)
+    nlls = loss * attention_mask
+    return mdlm.LossOutput(nlls.sum() / attention_mask.sum(), nlls,
+                           attention_mask)
+
+  # -- samplers -------------------------------------------------------------
+
+  def _base_kwargs(self, batch_size: int, num_steps: Optional[int],
+                   eps: float):
+    cfg = self.config
+    return dict(
+        batch_size=batch_size,
+        length=cfg.model.length,
+        mask_index=self.mask_index,
+        vocab_size=self.vocab_size,
+        num_steps=num_steps or cfg.sampling.steps,
+        eps=eps,
+        noise_removal=cfg.sampling.noise_removal,
+        analytic_removal=cfg.sampling.predictor == 'analytic',
+    )
+
+  def _make_sampler(self, step_fn, denoise, batch_size, num_steps, eps,
+                    collect_mid=False, collect_aux=False, aux_init=()):
+    fn = S.reverse_process(
+        step_fn, denoise, self.schedule,
+        collect_mid=collect_mid, collect_aux=collect_aux,
+        aux_init=aux_init, **self._base_kwargs(batch_size, num_steps, eps))
+    return jax.jit(fn)
+
+  def sampler(self, batch_size: int, *, num_steps: int | None = None,
+              eps: float = 1e-5, collect_mid: bool = False,
+              variables: Any | None = None):
+    """Uncontrolled sampler (_sample/decode_sample,
+    diffusion_gosai.py:821-936). Returns jitted key -> SampleResult."""
+    denoise = self.denoise_fn(variables)
+    pred = self.config.sampling.predictor
+    aux_init = ()
+    if pred == 'ddpm':
+      step = S.ddpm_step(denoise, self.schedule, self.mask_index)
+    elif pred == 'ddpm_cache':
+      step = S.ddpm_cache_step(denoise, self.schedule, self.mask_index)
+      aux_init = (jnp.zeros((batch_size, self.config.model.length,
+                             self.vocab_size)), jnp.asarray(False))
+    elif pred == 'analytic':
+      step = S.analytic_step(denoise, self.schedule, self.mask_index,
+                             self.vocab_size)
+    else:
+      raise ValueError(pred)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
+                              collect_mid=collect_mid, aux_init=aux_init)
+
+  def cdq_sampler(self, batch_size: int, *, repeats: int = 10,
+                  num_steps: int | None = None, eps: float = 1e-5,
+                  variables: Any | None = None):
+    """CDQ trajectory collection (_sample(cdq=True),
+    diffusion_gosai.py:839-853): returns SampleResult whose ``extra``
+    stacks all per-step candidate rollouts (steps, B, M, L) and whose
+    mid_x stacks trajectory states."""
+    denoise = self.denoise_fn(variables)
+    step = G.cdq_step(denoise, self.schedule, self.mask_index, repeats)
+    aux_init = jnp.zeros(
+        (batch_size, repeats, self.config.model.length), jnp.int32)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
+                              collect_mid=True, collect_aux=True,
+                              aux_init=aux_init)
+
+  def controlled_sampler(self, value_fn, batch_size: int, *,
+                         sample_M: int = 10, num_steps: int | None = None,
+                         eps: float = 1e-5, variables: Any | None = None):
+    """SVDD-MC (controlled_sample, diffusion_gosai.py:1022-1062)."""
+    denoise = self.denoise_fn(variables)
+    step = G.svdd_mc_step(denoise, value_fn, self.schedule,
+                          self.mask_index, repeats=sample_M)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+
+  def tweedie_sampler(self, reward_fn, batch_size: int, *,
+                      sample_M: int = 10, tweedie: bool = True,
+                      num_steps: int | None = None, eps: float = 1e-5,
+                      variables: Any | None = None):
+    """SVDD-PM (controlled_sample_tweedie, diffusion_gosai.py:1106-1145)."""
+    denoise = self.denoise_fn(variables)
+    step = G.svdd_pm_step(denoise, reward_fn, self.schedule,
+                          self.mask_index, repeats=sample_M,
+                          tweedie=tweedie)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+
+  def tds_sampler(self, reward_fn, batch_size: int, *, alpha: float = 1.0,
+                  num_steps: int | None = None, eps: float = 1e-5,
+                  variables: Any | None = None):
+    """TDS SMC baseline (controlled_sample_TDS, diffusion_gosai.py:938-978)."""
+    denoise = self.denoise_fn(variables)
+    step = G.tds_step(denoise, reward_fn, self.schedule, self.mask_index,
+                      alpha=alpha)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+
+  def dps_sampler(self, reward_fn, batch_size: int, *,
+                  guidance_scale: float = 1.0,
+                  num_steps: int | None = None, eps: float = 1e-5,
+                  variables: Any | None = None):
+    """DPS baseline (controlled_sample_DPS, diffusion_gosai.py:980-1020)."""
+    denoise = self.denoise_fn(variables)
+    step = G.dps_step(self.denoise_onehot_fn(variables), reward_fn,
+                      self.schedule, self.mask_index,
+                      guidance_scale=guidance_scale)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+
+  def classifier_sampler(self, value_fn_onehot, batch_size: int, *,
+                         guidance_scale: float = 1.0,
+                         num_steps: int | None = None, eps: float = 1e-5,
+                         variables: Any | None = None):
+    """Classifier guidance (controlled_sample_classfier,
+    diffusion_gosai.py:1064-1104)."""
+    denoise = self.denoise_fn(variables)
+    step = G.classifier_step(denoise, value_fn_onehot, self.schedule,
+                             self.mask_index,
+                             guidance_scale=guidance_scale)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps)

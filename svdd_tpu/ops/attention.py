@@ -1,0 +1,54 @@
+"""Multi-head attention for the DiT/AR backbones.
+
+Replaces flash-attn's CUDA varlen kernel (reference models/dit.py:4-5,
+272-273). Two paths:
+
+  * ``mha`` — XLA dot-product attention. At the reference workloads
+    (L=200 DNA / L=50 RNA) the whole score matrix fits in VMEM and XLA
+    fuses softmax into the matmuls; this is already MXU-bound.
+  * ``flash_mha`` — Pallas blocked flash-attention for long sequences
+    (the legacy text MDLM path runs L=1024). Falls back to ``mha``
+    off-TPU or when shapes don't tile.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def mha(q: Array, k: Array, v: Array, causal: bool = False) -> Array:
+  """(B, L, H, D) attention via XLA einsums; fp32 softmax accumulators."""
+  d = q.shape[-1]
+  logits = jnp.einsum('blhd,bmhd->bhlm', q, k,
+                      preferred_element_type=jnp.float32)
+  logits = logits / math.sqrt(d)
+  if causal:
+    l, m = logits.shape[-2:]
+    mask = jnp.tril(jnp.ones((l, m), dtype=bool))
+    logits = jnp.where(mask, logits, -jnp.inf)
+  probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+  return jnp.einsum('bhlm,bmhd->blhd', probs, v)
+
+
+def _is_tpu() -> bool:
+  try:
+    return jax.devices()[0].platform in ('tpu', 'axon')
+  except Exception:
+    return False
+
+
+@functools.partial(jax.jit, static_argnames=('causal',))
+def flash_mha(q: Array, k: Array, v: Array, causal: bool = False) -> Array:
+  """Blocked flash attention (Pallas on TPU; XLA fallback elsewhere)."""
+  l = q.shape[1]
+  d = q.shape[-1]
+  if not _is_tpu() or l % 128 != 0 or d % 64 != 0:
+    return mha(q, k, v, causal=causal)
+  from svdd_tpu.ops import flash_attention_pallas
+  return flash_attention_pallas.flash_attention(q, k, v, causal=causal)

@@ -1,0 +1,249 @@
+"""Guided reverse-step transforms: SVDD-MC, SVDD-PM (Tweedie), TDS,
+DPS, and classifier guidance.
+
+Each factory returns a ``StepFn`` pluggable into
+``sampler.reverse_process`` — all algorithms share one scan skeleton.
+
+The TPU-first redesign vs the reference (SURVEY.md §3.1 hot loop,
+diffusion_gosai.py:1175-1460): the reference draws its M candidates and
+runs M value forwards *sequentially in python* per step (:1203-1209).
+Here the M candidate draws are one (B, M, L, V) gumbel argmax and the M
+value forwards are ONE batched (B*M) forward — the candidate dimension
+is folded into the batch so every matmul in the value net sees a
+M-times-larger batch on the MXU. This single change is where the
+order-of-magnitude speedup over the reference comes from.
+
+API conventions:
+  denoise_fn(x:(N,L) int32, sigma:(N,)) -> log p(x0|xt) (N,L,V)
+  denoise_onehot_fn(x_onehot:(N,L,V), x:(N,L), sigma:(N,)) -> (N,L,V)
+      (the differentiable 'forward2' path, diffusion_gosai.py:359-378)
+  value_fn(tokens:(N,L) int32) -> (N,) value-net scores
+      (one-hot transform with mask-row zeroing happens inside)
+  reward_fn(onehot:(N,L,4)) -> (N,) reward-oracle scores
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from svdd_tpu import mdlm
+from svdd_tpu.sampling.sampler import DenoiseFn, StepFn
+from svdd_tpu.schedules import Schedule
+
+Array = jnp.ndarray
+ValueFn = Callable[[Array], Array]
+RewardFn = Callable[[Array], Array]
+
+
+def _move_chances(schedule: Schedule, t: Array, t_next: Array):
+  sigma_t, _ = schedule(t)
+  sigma_s, _ = schedule(t_next)
+  return sigma_t, sigma_s, 1 - jnp.exp(-sigma_t), 1 - jnp.exp(-sigma_s)
+
+
+def _draw_candidates(key: jax.Array, log_q: Array, x: Array,
+                     mask_index: int, repeats: int) -> Array:
+  """One-shot (B, M, L) candidate draw: vectorized gumbel-max over an
+  expanded candidate axis + carry-over of unmasked tokens
+  (replaces the sequential list-comp at diffusion_gosai.py:1203)."""
+  b, l, v = log_q.shape
+  gumbel = jax.random.gumbel(key, (b, repeats, l, v), dtype=jnp.float32)
+  draws = jnp.argmax(log_q[:, None] + gumbel, axis=-1)      # (B, M, L)
+  return jnp.where((x != mask_index)[:, None], x[:, None], draws)
+
+
+def _select_best(candidates: Array, scores: Array) -> Array:
+  """Per-row argmax over the M candidates (softmax+argmax in the
+  reference, :1219-1227 — argmax of softmax == argmax of scores)."""
+  idx = jnp.argmax(scores, axis=1)                          # (B,)
+  return jnp.take_along_axis(candidates, idx[:, None, None],
+                             axis=1)[:, 0]
+
+
+def svdd_mc_step(denoise_fn: DenoiseFn, value_fn: ValueFn,
+                 schedule: Schedule, mask_index: int,
+                 repeats: int = 10) -> StepFn:
+  """SVDD-MC: M candidates -> value net -> argmax select
+  (_ddpm_update_finetune_controlled, diffusion_gosai.py:1175-1228)."""
+
+  def step(aux, x, t, t_next, key):
+    b, l = x.shape
+    sigma_t, _, mct, mcs = _move_chances(schedule, t, t_next)
+    log_p = denoise_fn(x, jnp.full((b,), sigma_t))
+    log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
+    candidates = _draw_candidates(key, log_q, x, mask_index, repeats)
+    scores = value_fn(candidates.reshape(b * repeats, l))
+    scores = scores.reshape(b, repeats)
+    return aux, _select_best(candidates, scores)
+
+  return step
+
+
+def _tweedie_posterior_onehot(denoise_fn: DenoiseFn, samples: Array,
+                              sigma_s: Array, mask_index: int) -> Array:
+  """r(E[x0|x]) input: argmax of the denoiser posterior at still-masked
+  positions, actual tokens elsewhere (diffusion_gosai.py:1414-1419)."""
+  log_p = denoise_fn(samples, sigma_s)
+  posterior_arg = jnp.argmax(log_p, axis=-1)               # never MASK
+  posterior_oh = jax.nn.one_hot(posterior_arg, 4)
+  copy = (samples != mask_index)[..., None]
+  actual_oh = jax.nn.one_hot(jnp.clip(samples, 0, 3), 4)
+  return jnp.where(copy, actual_oh, posterior_oh)
+
+
+def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
+                 schedule: Schedule, mask_index: int,
+                 repeats: int = 10, tweedie: bool = True) -> StepFn:
+  """SVDD-PM: M candidates -> posterior-mean (Tweedie) reward -> select
+  (_ddpm_update_finetune_controlled_twedie, diffusion_gosai.py:1374-1460).
+
+  ``tweedie=False`` selects the mask-to-zero heuristic (:1420-1424).
+  Per step: 1 denoiser fwd on (B,) + 1 denoiser fwd + 1 reward fwd on
+  (B*M,) — vs the reference's (1 + 2M) sequential forwards.
+  """
+
+  def step(aux, x, t, t_next, key):
+    b, l = x.shape
+    sigma_t, sigma_s, mct, mcs = _move_chances(schedule, t, t_next)
+    log_p = denoise_fn(x, jnp.full((b,), sigma_t))
+    log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
+    candidates = _draw_candidates(key, log_q, x, mask_index, repeats)
+    flat = candidates.reshape(b * repeats, l)
+    if tweedie:
+      onehot = _tweedie_posterior_onehot(
+          denoise_fn, flat, jnp.full((b * repeats,), sigma_s),
+          mask_index)
+    else:
+      onehot = mdlm.transform_samples(flat)                # mask rows -> 0
+    scores = reward_fn(onehot).reshape(b, repeats)
+    return aux, _select_best(candidates, scores)
+
+  return step
+
+
+def tds_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
+             schedule: Schedule, mask_index: int,
+             alpha: float = 1.0) -> StepFn:
+  """TDS: SMC with Tweedie importance weights + systematic resampling
+  (_ddpm_update_finetune_controlled_TDS, diffusion_gosai.py:1231-1284).
+
+  The reference resamples on host via np.random.choice (:1282); here
+  resampling is an in-scan jax.random.choice — no device sync.
+  NB the reference evaluates BOTH v_{t-1}(x_{t-1}) and v_t(x_t) at
+  sigma_s (:1267, :1275); preserved.
+  """
+
+  def step(aux, x, t, t_next, key):
+    b, l = x.shape
+    k_draw, k_resample = jax.random.split(key)
+    sigma_t, sigma_s, mct, mcs = _move_chances(schedule, t, t_next)
+    sigma_s_b = jnp.full((b,), sigma_s)
+    log_p = denoise_fn(x, jnp.full((b,), sigma_t))
+    log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
+    draw = mdlm.sample_categorical(k_draw, log_q)
+    sample = jnp.where(x != mask_index, x, draw)
+
+    reward_num = reward_fn(_tweedie_posterior_onehot(
+        denoise_fn, sample, sigma_s_b, mask_index))
+    reward_den = reward_fn(_tweedie_posterior_onehot(
+        denoise_fn, x, sigma_s_b, mask_index))
+
+    ratio = jnp.exp((reward_num - reward_den) / alpha)
+    idx = jax.random.choice(k_resample, b, shape=(b,),
+                            p=ratio / ratio.sum())
+    return aux, sample[idx]
+
+  return step
+
+
+def dps_step(denoise_onehot_fn, reward_fn: RewardFn,
+             schedule: Schedule, mask_index: int,
+             guidance_scale: float = 1.0) -> StepFn:
+  """DPS: gradient of r(softmax E[x0|xt]) wrt the one-hot input,
+  re-centered by the mask column, applied as exp-tilting of q_xs
+  (_ddpm_update_finetune_controlled_DPS + compute_gradient_DPS,
+  diffusion_gosai.py:1286-1330). jax.grad replaces autograd; no
+  model.train() toggle needed."""
+
+  def step(aux, x, t, t_next, key):
+    b, l = x.shape
+    sigma_t, sigma_s, mct, mcs = _move_chances(schedule, t, t_next)
+    sigma_t_b = jnp.full((b,), sigma_t)
+    sigma_s_b = jnp.full((b,), sigma_s)
+    copy = (x != mask_index).astype(jnp.float32)[..., None]
+
+    def score_mean(x_onehot):
+      # gradient semantics preserved from the reference (§7.3): grad is
+      # taken wrt the full 5-channel one-hot INCLUDING the mask channel,
+      # through the E[x0|xt] merge and a softmax over all 5 channels.
+      expected = denoise_onehot_fn(x_onehot, x, sigma_s_b)
+      expected = copy * x_onehot + (1 - copy) * expected
+      probs = jax.nn.softmax(expected, axis=-1)
+      return reward_fn(probs[..., :4]).mean()
+
+    x_onehot = jax.nn.one_hot(x, mask_index + 1, dtype=jnp.float32)
+    x_grad = jax.grad(score_mean)(x_onehot)
+
+    log_p0 = denoise_onehot_fn(x_onehot, x, sigma_t_b)
+    log_q = mdlm.log_q_xs(log_p0, mct, mcs, mask_index)
+    guidance = guidance_scale * (
+        x_grad - x_grad[..., mask_index][..., None])
+    draw = mdlm.sample_categorical(key, log_q + guidance)
+    return aux, jnp.where(x != mask_index, x, draw)
+
+  return step
+
+
+def classifier_step(denoise_fn: DenoiseFn, value_fn_onehot,
+                    schedule: Schedule, mask_index: int,
+                    guidance_scale: float = 1.0) -> StepFn:
+  """Classifier guidance: grad of the value net wrt one-hot x_t added
+  to q_xs in PROBABILITY space before sampling
+  (_ddpm_update_finetune_classfier + compute_gradient,
+  diffusion_gosai.py:1332-1371). ``value_fn_onehot`` takes (N, L, 4)
+  one-hots so jax.grad flows through it."""
+
+  def step(aux, x, t, t_next, key):
+    b, l = x.shape
+    sigma_t, _, mct, mcs = _move_chances(schedule, t, t_next)
+    log_p = denoise_fn(x, jnp.full((b,), sigma_t))
+    log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
+
+    def score_mean(onehot4):
+      return value_fn_onehot(onehot4).mean()
+
+    x_grad4 = jax.grad(score_mean)(mdlm.transform_samples(x))
+    x_grad = jnp.concatenate(
+        [x_grad4, jnp.zeros_like(x_grad4[..., :1])], axis=-1)
+
+    # reference adds the grad to q_xs in prob space (:1355); clamp at a
+    # tiny positive so negative tilted probs behave like "never chosen"
+    q_tilted = jnp.exp(log_q) + guidance_scale * x_grad
+    draw = mdlm.sample_categorical(
+        key, jnp.log(jnp.maximum(q_tilted, 1e-35)))
+    return aux, jnp.where(x != mask_index, x, draw)
+
+  return step
+
+
+def cdq_step(denoise_fn: DenoiseFn, schedule: Schedule, mask_index: int,
+             repeats: int = 10) -> StepFn:
+  """CD-Q trajectory collection: per step draw ``repeats`` candidate
+  next-states (the 10-way rollouts of diffusion_gosai.py:839-853),
+  keep the last as the trajectory, emit all for bootstrapped targets.
+  aux collects nothing; candidates are returned via the scan ys by
+  wrapping this step with collect-all (see value.py)."""
+
+  def step(aux, x, t, t_next, key):
+    b, l = x.shape
+    sigma_t, _, mct, mcs = _move_chances(schedule, t, t_next)
+    log_p = denoise_fn(x, jnp.full((b,), sigma_t))
+    log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
+    candidates = _draw_candidates(key, log_q, x, mask_index, repeats)
+    # reference keeps the LAST of the 10 rollouts as x (:849)
+    return candidates, candidates[:, -1]
+
+  return step
