@@ -1,0 +1,128 @@
+"""Shared decode-CLI scaffold.
+
+The reference's six decode scripts share one argparse surface
+(/root/reference/decode.py:122-213) and model-building preamble
+(:52-108); this module centralizes both. Flag names are preserved
+verbatim (--task, --reward_name, --sample_M, --batch_size,
+--val_batch_num, --load_checkpoint_path, --alpha, --guidance_scale,
+--tweedie, --cdq, --seed, --model ...) so reference users can switch
+without relearning the CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+
+from svdd_tpu import rewards, utils, value as value_lib
+from svdd_tpu.checkpoint import load_pytree
+from svdd_tpu.config import Config, dna_config, rna_config
+from svdd_tpu.diffusion import Diffusion
+
+LOGGER = utils.get_logger(__name__)
+
+
+def make_parser(description: str) -> argparse.ArgumentParser:
+  p = argparse.ArgumentParser(description=description)
+  # the reference's flag surface (decode.py:122-213), minus dead
+  # molecule-generation flags that nothing reads
+  p.add_argument('--run_name', type=str, required=False)
+  p.add_argument('--debug', action='store_true', default=False)
+  p.add_argument('--task', type=str, default='dna',
+                 help='dna / rna / rna_saluki')
+  p.add_argument('--saluki_body', type=int, default=0)
+  p.add_argument('--n_task', type=int, default=1)
+  p.add_argument('--model', type=str, default='enformer',
+                 help='enformer / multienformer / timedenformer')
+  p.add_argument('--batch_size', type=int, default=256)
+  p.add_argument('--sample_M', type=int, default=5)
+  p.add_argument('--val_batch_num', type=int, default=1)
+  p.add_argument('--seed', type=int, default=44)
+  p.add_argument('--reward_name', type=str, default='HepG2')
+  p.add_argument('--load_checkpoint_path', type=str, default=None,
+                 help='value-net checkpoint (orbax dir or torch .pt)')
+  p.add_argument('--pre_model_path', type=str, default=None)
+  p.add_argument('--cdq', action='store_true', default=False)
+  p.add_argument('--dist', action='store_true', default=False)
+  # new (TPU build) flags
+  p.add_argument('--diffusion_checkpoint_path', type=str, default=None,
+                 help='pretrained diffusion orbax checkpoint')
+  p.add_argument('--reward_checkpoint_path', type=str, default=None,
+                 help='reward-oracle orbax checkpoint')
+  p.add_argument('--num_steps', type=int, default=None,
+                 help='override sampling steps')
+  p.add_argument('--length', type=int, default=None,
+                 help='override sequence length')
+  p.add_argument('--out_dir', type=str, default='./log')
+  p.add_argument('--skip_best_of_n', action='store_true', default=False)
+  return p
+
+
+def task_config(args) -> Config:
+  cfg = rna_config() if args.task in ('rna', 'rna_saluki') \
+      else dna_config()
+  cfg.task = args.task if args.task in ('dna', 'rna', 'rna_saluki') \
+      else 'dna'
+  if args.length:
+    cfg.model.length = args.length
+  if args.num_steps:
+    cfg.sampling.steps = args.num_steps
+  cfg.loader.eval_batch_size = args.batch_size
+  return cfg
+
+
+def load_diffusion(args, cfg: Config) -> Diffusion:
+  """(Enformer.py:75-101 loads the frozen ref_model; here from orbax.)"""
+  model = Diffusion(cfg, rng=jax.random.key(cfg.seed))
+  if args.diffusion_checkpoint_path:
+    model.variables = load_pytree(args.diffusion_checkpoint_path,
+                                  model.variables)
+    LOGGER.info('loaded diffusion ckpt %s', args.diffusion_checkpoint_path)
+  else:
+    LOGGER.warning('no --diffusion_checkpoint_path: using randomly '
+                   'initialized diffusion model')
+  return model
+
+
+def load_reward_fn(args, cfg: Config):
+  """Frozen reward oracle (Enformer.py:103-133). Without a checkpoint
+  the synthetic motif oracle stands in so pipelines stay runnable."""
+  if args.reward_checkpoint_path:
+    key = jax.random.key(0)
+    if args.task in ('rna', 'rna_saluki'):
+      oracle = rewards.RewardOracle.create_rna(cfg.model.length, key)
+    else:
+      oracle = rewards.RewardOracle.create_dna(cfg.model.length, key)
+    oracle.variables = load_pytree(args.reward_checkpoint_path,
+                                   oracle.variables)
+    LOGGER.info('loaded reward oracle %s', args.reward_checkpoint_path)
+    return oracle.as_fn()
+  LOGGER.warning('no --reward_checkpoint_path: using synthetic motif '
+                 'oracle')
+  return rewards.synthetic_motif_oracle(cfg.model.length)
+
+
+def load_value_function(args, cfg: Config) -> value_lib.ValueFunction:
+  """Value net (decode.py:73-104): architecture by --model/--task,
+  weights from --load_checkpoint_path."""
+  vf = value_lib.ValueFunction.create(
+      args.task if args.task in ('rna', 'rna_saluki') else 'dna',
+      cfg.model.length, jax.random.key(1),
+      model=args.model, n_tasks=args.n_task)
+  path = args.load_checkpoint_path or args.pre_model_path
+  if path:
+    vf.variables = load_pytree(path, vf.variables)
+    LOGGER.info('loaded value net %s', path)
+  else:
+    LOGGER.warning('no --load_checkpoint_path: value net is randomly '
+                   'initialized')
+  return vf
+
+
+def npz_path(args, suffix: str = '') -> str:
+  """'./log/{task}-{reward}{suffix}.npz' (decode.py:117 and variants)."""
+  import os
+  return os.path.join(args.out_dir,
+                      f'{args.task}-{args.reward_name}{suffix}.npz')

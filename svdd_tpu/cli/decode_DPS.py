@@ -1,0 +1,52 @@
+"""DPS (gradient guidance) decode CLI (reference decode_DPS.py).
+
+Adds --guidance_scale; writes log/{task}-{reward}_DPS.npz. No
+model.train() toggle needed — jax.grad differentiates the eval-mode
+forward directly.
+"""
+
+from __future__ import annotations
+
+from svdd_tpu import utils
+from svdd_tpu.cli import common
+from svdd_tpu.decode import run_decode
+from svdd_tpu.eval.metrics import quantile_report
+
+LOGGER = utils.get_logger(__name__)
+
+NPZ_SUFFIX = '_DPS'
+
+
+def run(args, suffix: str = NPZ_SUFFIX) -> None:
+  cfg = common.task_config(args)
+  diffusion = common.load_diffusion(args, cfg)
+  reward_fn = common.load_reward_fn(args, cfg)
+
+  result = run_decode(
+      diffusion, reward_fn,
+      algo='dps',
+      gen_batch_num=args.val_batch_num,
+      batch_size=args.batch_size,
+      sample_M=args.sample_M,
+      guidance_scale=args.guidance_scale,
+      seed=args.seed,
+      skip_best_of_n=args.skip_best_of_n,
+  )
+
+  path = common.npz_path(args, suffix)
+  result.save_npz(path)
+  LOGGER.info('wrote %s', path)
+  for name, row in quantile_report(
+      {'decoding': result.reward_preds,
+       'baseline': result.baseline_preds}).items():
+    LOGGER.info('%s: %s', name, row)
+
+
+def main() -> None:
+  parser = common.make_parser('DPS gradient-guided decoding')
+  parser.add_argument('--guidance_scale', type=float, default=1e5)
+  run(parser.parse_args())
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,51 @@
+"""SVDD-PM (Tweedie) decode CLI (reference decode_tweedie.py).
+
+Adds --tweedie (posterior-mean vs mask-to-zero heuristic) and writes
+log/{task}-{reward}_tw.npz.
+"""
+
+from __future__ import annotations
+
+from svdd_tpu import utils
+from svdd_tpu.cli import common
+from svdd_tpu.decode import run_decode
+from svdd_tpu.eval.metrics import quantile_report
+
+LOGGER = utils.get_logger(__name__)
+
+
+def run(args) -> None:
+  cfg = common.task_config(args)
+  diffusion = common.load_diffusion(args, cfg)
+  reward_fn = common.load_reward_fn(args, cfg)
+
+  result = run_decode(
+      diffusion, reward_fn,
+      algo='svdd_pm',
+      gen_batch_num=args.val_batch_num,
+      batch_size=args.batch_size,
+      sample_M=args.sample_M,
+      tweedie=str(args.tweedie) == 'True',
+      seed=args.seed,
+      skip_best_of_n=args.skip_best_of_n,
+  )
+
+  path = common.npz_path(args, '_tw')
+  result.save_npz(path)
+  LOGGER.info('wrote %s', path)
+  for name, row in quantile_report(
+      {'decoding': result.reward_preds,
+       'baseline': result.baseline_preds}).items():
+    LOGGER.info('%s: %s', name, row)
+
+
+def main() -> None:
+  parser = common.make_parser('SVDD-PM (Tweedie) decoding')
+  parser.add_argument('--tweedie', type=str, default='True',
+                      help="'True' = posterior mean; else mask-to-zero "
+                           'heuristic (decode_tweedie.py --tweedie)')
+  run(parser.parse_args())
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,54 @@
+"""Value-net accuracy evaluation entry (reference eval.py).
+
+Samples batches from the frozen diffusion model, compares value-net
+predictions to reward-oracle outputs with streaming PearsonR
+(eval.py:55-131, Enformer.py evaluation:343-397).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from svdd_tpu import mdlm, utils
+from svdd_tpu.cli import common
+from svdd_tpu.eval.metrics import PearsonState
+
+LOGGER = utils.get_logger(__name__)
+
+
+def run(args) -> None:
+  cfg = common.task_config(args)
+  diffusion = common.load_diffusion(args, cfg)
+  reward_fn = common.load_reward_fn(args, cfg)
+  vf = common.load_value_function(args, cfg)
+
+  sampler = diffusion.sampler(args.batch_size)
+  pearson = PearsonState.init(1)
+  preds_all, targets_all = [], []
+  key = jax.random.key(args.seed)
+  for i in range(args.val_batch_num):
+    key, sub = jax.random.split(key)
+    samples = sampler(sub).samples
+    onehot = mdlm.transform_samples(samples)
+    target = reward_fn(onehot)
+    pred = vf.score_onehot(onehot)
+    pearson = pearson.update(target, pred)
+    preds_all.append(np.asarray(pred))
+    targets_all.append(np.asarray(target))
+    LOGGER.info('batch %d pearson so far %.4f', i,
+                float(pearson.compute()))
+  preds = np.concatenate(preds_all)
+  targets = np.concatenate(targets_all)
+  LOGGER.info('final pearson %.4f  MSE %.5f (n=%d)',
+              float(pearson.compute()),
+              float(np.mean((preds - targets) ** 2)), preds.size)
+
+
+def main() -> None:
+  parser = common.make_parser('value-net accuracy evaluation')
+  run(parser.parse_args())
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,132 @@
+"""Diffusion pretrain entry (reference main_gosai.py).
+
+Modes: train / ppl_eval / sample_eval (main_gosai.py:205-226). Hydra is
+replaced by the typed config (--config yaml overlay + dotted
+--set key=value overrides). Multi-device runs shard the global batch
+over the 'data' mesh axis automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from svdd_tpu import utils
+from svdd_tpu.config import Config, dna_config, rna_config
+from svdd_tpu.data import gosai
+from svdd_tpu.diffusion import Diffusion
+from svdd_tpu.train import diffusion as train_diff
+
+LOGGER = utils.get_logger(__name__)
+
+
+def parse_overrides(pairs):
+  out = {}
+  for pair in pairs or []:
+    k, v = pair.split('=', 1)
+    cur = out
+    parts = k.split('.')
+    for p in parts[:-1]:
+      cur = cur.setdefault(p, {})
+    try:
+      v = json.loads(v)
+    except json.JSONDecodeError:
+      pass
+    cur[parts[-1]] = v
+  return out
+
+
+def build_config(args) -> Config:
+  if args.config:
+    cfg = Config.from_yaml(args.config)
+  else:
+    cfg = rna_config() if args.task == 'rna' else dna_config()
+  overrides = parse_overrides(args.set)
+  if overrides:
+    cfg = cfg.override(**overrides)
+  return cfg
+
+
+def _print_config(cfg: Config) -> None:
+  """Config tree dump (main_gosai.py:46-78 rich tree -> plain json)."""
+  LOGGER.info('config:\n%s', json.dumps(cfg.to_dict(), indent=2,
+                                        default=str))
+
+
+def _train(cfg: Config, args) -> None:
+  mesh = None
+  if len(jax.devices()) > 1:
+    from svdd_tpu.parallel import mesh as M
+    mesh = M.make_mesh()
+    LOGGER.info('mesh: %s', mesh)
+  num_shards, shard_index = jax.process_count(), jax.process_index()
+  train_it, valid_it, _ = gosai.get_dataloaders(
+      cfg, num_shards=num_shards, shard_index=shard_index,
+      data_dir=args.data_dir)
+  model = Diffusion(cfg, rng=jax.random.key(cfg.seed))
+  trainer = train_diff.Trainer(model, cfg, mesh=mesh,
+                               ckpt_dir=args.ckpt_dir)
+  state = trainer.init_or_restore(jax.random.key(cfg.seed), train_it)
+  state = trainer.fit(state, train_it, valid_it,
+                      num_steps=args.max_steps)
+  if args.ckpt_dir:
+    train_diff.save_checkpoint(args.ckpt_dir, state,
+                               train_it.state_dict())
+
+
+def _ppl_eval(cfg: Config, args) -> None:
+  """(main_gosai.py:130-157): NLL/BPD/PPL over the validation split."""
+  _, valid_it, _ = gosai.get_dataloaders(cfg, skip_train=True,
+                                         data_dir=args.data_dir)
+  model = Diffusion(cfg, rng=jax.random.key(cfg.seed))
+  trainer = train_diff.Trainer(model, cfg, ckpt_dir=args.ckpt_dir)
+  state = trainer.init_or_restore(jax.random.key(cfg.seed))
+  nll = trainer.evaluate(state, valid_it, max_batches=16)
+  LOGGER.info('val/nll %.4f bpd %.4f ppl %.4f', nll,
+              nll / np.log(2), float(np.exp(nll)))
+
+
+def _sample_eval(cfg: Config, args) -> None:
+  """(main_gosai.py:98-128): generate + detokenize samples."""
+  model = Diffusion(cfg, rng=jax.random.key(cfg.seed))
+  if args.ckpt_dir:
+    state = train_diff.restore_checkpoint(
+        args.ckpt_dir, train_diff.init_state(model, cfg,
+                                             jax.random.key(0)))
+    model.variables = {'params': state.ema.shadow, **state.extras}
+  sampler = model.sampler(cfg.loader.eval_batch_size)
+  for i in range(cfg.sampling.num_sample_batches):
+    res = sampler(jax.random.key(i))
+    seqs = gosai.batch_dna_detokenize(np.asarray(res.samples))
+    for s in seqs[:4]:
+      LOGGER.info('sample: %s', s)
+
+
+def main() -> None:
+  p = argparse.ArgumentParser(description='MDLM diffusion pretraining')
+  p.add_argument('--task', default='dna', choices=['dna', 'rna'])
+  p.add_argument('--mode', default='train',
+                 choices=['train', 'ppl_eval', 'sample_eval'])
+  p.add_argument('--config', default=None, help='yaml config overlay')
+  p.add_argument('--set', nargs='*', default=None,
+                 help='dotted overrides, e.g. optim.lr=1e-3')
+  p.add_argument('--ckpt_dir', default='./checkpoints')
+  p.add_argument('--data_dir', default=None)
+  p.add_argument('--max_steps', type=int, default=None)
+  args = p.parse_args()
+
+  cfg = build_config(args)
+  _print_config(cfg)
+  if args.mode == 'train':
+    _train(cfg, args)
+  elif args.mode == 'ppl_eval':
+    _ppl_eval(cfg, args)
+  else:
+    _sample_eval(cfg, args)
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,76 @@
+"""Value-network training entry (reference train.py).
+
+Builds the value model variant (enformer / multienformer /
+timedenformer — train.py:165-185), fits with MC or CD-Q targets
+against a frozen diffusion model, periodically evaluates per-timestep
+MSE/Pearson and checkpoints (trainer.py:243-249).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from svdd_tpu import utils, value as value_lib
+from svdd_tpu.checkpoint import save_pytree
+from svdd_tpu.cli import common
+from svdd_tpu.train import value as train_val
+
+LOGGER = utils.get_logger(__name__)
+
+
+def run(args) -> None:
+  cfg = common.task_config(args)
+  diffusion = common.load_diffusion(args, cfg)
+  reward_fn = common.load_reward_fn(args, cfg)
+  vf = common.load_value_function(args, cfg)
+
+  tcfg = train_val.ValueTrainerConfig(
+      learning_rate=args.learning_rate,
+      grad_norm_clip=args.grad_norm_clip,
+      max_iter=args.max_iters,
+      cdq=args.cdq,
+      batch_size=args.batch_size,
+      lr_decay=args.lr_decay,
+  )
+  trainer = train_val.ValueTrainer(diffusion, vf, reward_fn, tcfg,
+                                   sample_M=args.sample_M)
+  state = trainer.init_state(jax.random.key(args.seed))
+
+  eval_batches = eval_targets = None
+  if args.val_batch_num > 0:
+    eval_batches, eval_targets = train_val.build_eval_timestep_batches(
+        diffusion, reward_fn, args.batch_size, args.val_batch_num,
+        jax.random.key(args.seed + 1))
+
+  iters_done = 0
+  while iters_done < tcfg.max_iter:
+    chunk = min(args.eval_every, tcfg.max_iter - iters_done)
+    state = trainer.train(state, chunk)
+    iters_done += chunk
+    if eval_batches is not None:
+      losses, pearsons = trainer.evaluate_seq_step(
+          state, eval_batches, eval_targets)
+      LOGGER.info('it %d per-timestep MSE head/mid/tail: '
+                  '%.4f / %.4f / %.4f  pearson: %.3f / %.3f / %.3f',
+                  iters_done, losses[0], losses[len(losses) // 2],
+                  losses[-1], pearsons[0], pearsons[len(pearsons) // 2],
+                  pearsons[-1])
+    if args.save_path:
+      save_pytree(args.save_path,
+                  {'params': state.params, **state.extras})
+      LOGGER.info('saved value net to %s', args.save_path)
+
+
+def main() -> None:
+  parser = common.make_parser('value-network training (MC / CD-Q)')
+  parser.add_argument('--max_iters', type=int, default=50_000)
+  parser.add_argument('--learning_rate', type=float, default=2e-4)
+  parser.add_argument('--grad_norm_clip', type=float, default=1.0)
+  parser.add_argument('--lr_decay', action='store_true', default=False)
+  parser.add_argument('--eval_every', type=int, default=200)
+  parser.add_argument('--save_path', type=str, default=None)
+  run(parser.parse_args())
+
+
+if __name__ == '__main__':
+  main()

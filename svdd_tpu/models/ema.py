@@ -27,7 +27,10 @@ def init(params: Any, decay: float, use_num_updates: bool = True) -> EMAState:
   if not 0.0 <= decay <= 1.0:
     raise ValueError('Decay must be between 0 and 1')
   n = jnp.asarray(0 if use_num_updates else -1, jnp.int32)
-  return EMAState(decay, n, jax.tree.map(jnp.asarray, params))
+  # deep-copy so shadow never aliases the live params (aliasing breaks
+  # buffer donation in the jitted train step)
+  shadow = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+  return EMAState(decay, n, shadow)
 
 
 def update(state: EMAState, params: Any) -> EMAState:

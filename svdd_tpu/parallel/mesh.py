@@ -1,0 +1,107 @@
+"""Mesh + sharding rules reproducing (and exceeding) the reference's
+distributed strategies.
+
+Reference parallelism inventory (SURVEY.md §2.2) is data-parallel only:
+Lightning DDP / FSDP(SHARD_GRAD_OP) / torch DataParallel / NCCL process
+groups. The TPU-native mapping:
+
+  DDP / DataParallel     -> batch sharded over the 'data' mesh axis;
+                            pjit inserts the gradient psum (the NCCL
+                            all-reduce equivalent) over ICI.
+  FSDP SHARD_GRAD_OP     -> params + optimizer state sharded over
+                            'data' (fsdp_shard), gathered per-layer by
+                            XLA at use (all_gather) — ZeRO-2/3 style.
+  distributed sampler    -> FaultTolerantIterator shards by
+                            process_index (data/gosai.py).
+  NCCL bootstrap         -> none needed; jax.distributed.initialize()
+                            on multi-host.
+
+Plus a 'model' axis the reference lacks: tensor-parallel sharding of
+the 1536-wide Enformer matmuls and of the fully-sharded B*M candidate
+dimension at decode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+  """Create a ('data', 'model') mesh. data=-1 uses all remaining
+  devices. Axis order puts 'model' innermost so TP collectives ride
+  the fastest ICI links."""
+  devices = devices if devices is not None else jax.devices()
+  n = len(devices)
+  if data == -1:
+    if n % model:
+      raise ValueError(f'{n} devices not divisible by model={model}')
+    data = n // model
+  if data * model != n:
+    raise ValueError(f'mesh {data}x{model} != {n} devices')
+  dev_array = np.asarray(devices).reshape(data, model)
+  return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+  """Shard the leading batch dim over 'data' (DDP semantics)."""
+  return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+  return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+  """Device_put a host batch with the leading dim over 'data'."""
+  def put(x):
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+  return jax.tree.map(put, batch)
+
+
+def fsdp_spec(x: Any, mesh: Mesh, min_size: int = 2 ** 14) -> P:
+  """FSDP rule: shard the largest divisible axis of big params over
+  'data'; small params stay replicated (matches SHARD_GRAD_OP's
+  grad/opt-state sharding intent, configs_gosai/strategy/fsdp.yaml)."""
+  n_data = mesh.shape[DATA_AXIS]
+  if x.ndim == 0 or x.size < min_size:
+    return P()
+  # choose the largest axis divisible by the data-axis size
+  cands = [(dim, i) for i, dim in enumerate(x.shape) if dim % n_data == 0]
+  if not cands:
+    return P()
+  _, axis = max(cands)
+  spec = [None] * x.ndim
+  spec[axis] = DATA_AXIS
+  return P(*spec)
+
+
+def fsdp_shard(tree: Any, mesh: Mesh) -> Any:
+  """Apply fsdp_spec to every leaf and device_put."""
+  return jax.tree.map(
+      lambda x: jax.device_put(
+          x, NamedSharding(mesh, fsdp_spec(x, mesh))), tree)
+
+
+def fsdp_shardings(tree: Any, mesh: Mesh) -> Any:
+  return jax.tree.map(
+      lambda x: NamedSharding(mesh, fsdp_spec(x, mesh)), tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+  return jax.tree.map(
+      lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+def local_shard_info(mesh: Optional[Mesh] = None):
+  """(num_shards, shard_index) for the data iterator: one shard per
+  process (multi-host), all devices fed via shard_batch."""
+  return jax.process_count(), jax.process_index()

@@ -1,0 +1,266 @@
+"""MDLM diffusion pretraining loop.
+
+TPU-native counterpart of the reference's Lightning pipeline
+(/root/reference/main_gosai.py:159-202 + the LightningModule training
+hooks in diffusion_gosai.py): optax AdamW + grad clip (configs_gosai/
+config_gosai.yaml optim/trainer blocks), constant-warmup or
+cosine-decay LR (configs_gosai/lr_scheduler/*), EMA updated after every
+optimizer step (diffusion_gosai.py:279-284), bf16 compute, periodic
+validation NLL + sample-quality metrics, orbax checkpointing carrying
+EMA + optimizer + fault-tolerant iterator state (SURVEY.md §5
+checkpoint semantics).
+
+The step is one donated jit: grads are psum'd over the 'data' mesh axis
+by pjit (the DDP all-reduce), params optionally FSDP-sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from svdd_tpu import utils
+from svdd_tpu.config import Config
+from svdd_tpu.diffusion import Diffusion
+from svdd_tpu.models import ema as ema_lib
+
+LOGGER = utils.get_logger(__name__)
+
+
+class TrainState(NamedTuple):
+  step: jnp.ndarray
+  params: Any
+  extras: Any          # non-trained collections (buffers, batch_stats)
+  opt_state: Any
+  ema: ema_lib.EMAState
+  rng: jax.Array
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+  o = config.optim
+  if o.lr_schedule == 'cosine_decay_warmup':
+    sched = utils.cosine_decay_warmup_schedule(
+        o.lr, o.warmup_steps, o.max_steps, o.lr_min)
+  else:
+    sched = utils.constant_warmup_schedule(o.lr, o.warmup_steps)
+  return optax.chain(
+      optax.clip_by_global_norm(o.grad_clip),
+      optax.adamw(sched, b1=o.beta1, b2=o.beta2, eps=o.eps,
+                  weight_decay=o.weight_decay),
+  )
+
+
+def init_state(model: Diffusion, config: Config,
+               rng: jax.Array) -> TrainState:
+  variables = dict(model.variables)
+  # deep-copy so the donated train-step buffers never alias
+  # model.variables (which outlives the train state)
+  params = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                        variables.pop('params'))
+  opt = make_optimizer(config)
+  return TrainState(
+      step=jnp.asarray(0),
+      params=params,
+      extras=variables,
+      opt_state=opt.init(params),
+      ema=ema_lib.init(params, config.training.ema),
+      rng=rng,
+  )
+
+
+def make_train_step(model: Diffusion, config: Config):
+  opt = make_optimizer(config)
+
+  def train_step(state: TrainState, batch):
+    rng, loss_key, drop_key = jax.random.split(state.rng, 3)
+
+    def loss_fn(params):
+      variables = {'params': params, **state.extras}
+      out = model.loss(variables, loss_key, batch['seqs'],
+                       batch.get('attention_mask'), train=True,
+                       dropout_rng=drop_key)
+      return out.loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = ema_lib.update(state.ema, params)
+    return TrainState(state.step + 1, params, state.extras, opt_state,
+                      ema, rng), loss
+
+  return train_step
+
+
+def make_eval_step(model: Diffusion, config: Config):
+  def eval_step(state: TrainState, batch, key):
+    params = ema_lib.params(state.ema) \
+        if not config.eval.disable_ema else state.params
+    variables = {'params': params, **state.extras}
+    out = model.loss(variables, key, batch['seqs'],
+                     batch.get('attention_mask'))
+    return out.nlls.sum(), out.token_mask.sum()
+  return eval_step
+
+
+@dataclasses.dataclass
+class Trainer:
+  """Train/eval/checkpoint driver (reference _train, main_gosai.py:159).
+
+  mesh=None runs single-device; with a mesh, batches are sharded over
+  'data' and (optionally) params over 'data' for FSDP.
+  """
+  model: Diffusion
+  config: Config
+  mesh: Any = None
+  ckpt_dir: Optional[str] = None
+
+  def __post_init__(self):
+    self.train_step = jax.jit(make_train_step(self.model, self.config),
+                              donate_argnums=(0,))
+    self.eval_step = jax.jit(make_eval_step(self.model, self.config))
+
+  def init_or_restore(self, rng: jax.Array, train_iter=None) -> TrainState:
+    state = init_state(self.model, self.config, rng)
+    if self.ckpt_dir and self.config.checkpointing.resume_from_ckpt:
+      state = restore_checkpoint(self.ckpt_dir, state, train_iter)
+    if self.mesh is not None:
+      from svdd_tpu.parallel import mesh as M
+      if self.config.parallel.fsdp:
+        state = TrainState(
+            state.step,
+            M.fsdp_shard(state.params, self.mesh),
+            M.replicate(state.extras, self.mesh),
+            M.fsdp_shard(state.opt_state, self.mesh),
+            ema_lib.EMAState(state.ema.decay, state.ema.num_updates,
+                             M.fsdp_shard(state.ema.shadow, self.mesh)),
+            state.rng)
+      else:
+        state = TrainState(
+            state.step, M.replicate(state.params, self.mesh),
+            M.replicate(state.extras, self.mesh),
+            M.replicate(state.opt_state, self.mesh),
+            ema_lib.EMAState(state.ema.decay, state.ema.num_updates,
+                             M.replicate(state.ema.shadow, self.mesh)),
+            state.rng)
+    return state
+
+  def _put(self, batch):
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    if self.mesh is not None:
+      from svdd_tpu.parallel import mesh as M
+      batch = M.shard_batch(batch, self.mesh)
+    return batch
+
+  def fit(self, state: TrainState, train_iter: Iterator,
+          valid_iter=None, num_steps: Optional[int] = None,
+          log_every: int = 100, eval_every: Optional[int] = None,
+          ckpt_every: Optional[int] = None) -> TrainState:
+    num_steps = num_steps or self.config.optim.max_steps
+    eval_every = eval_every or self.config.eval.val_check_interval
+    ckpt_every = ckpt_every or self.config.checkpointing.every_n_steps
+    it = iter(train_iter)
+    t0 = time.time()
+    for i in range(num_steps):
+      batch = self._put(next(it))
+      state, loss = self.train_step(state, batch)
+      step = int(state.step)
+      if step % log_every == 0:
+        dt = time.time() - t0
+        LOGGER.info('step %d loss %.4f (%.2f steps/s)', step,
+                    float(loss), log_every / max(dt, 1e-9))
+        t0 = time.time()
+      if valid_iter is not None and step % eval_every == 0:
+        nll = self.evaluate(state, valid_iter)
+        LOGGER.info('step %d val/nll %.4f', step, nll)
+      if self.ckpt_dir and step % ckpt_every == 0:
+        save_checkpoint(self.ckpt_dir, state,
+                        getattr(train_iter, 'state_dict', lambda: {})())
+    return state
+
+  def evaluate(self, state: TrainState, valid_iter,
+               max_batches: int = 8) -> float:
+    total, count = 0.0, 0.0
+    key = jax.random.key(0)
+    for i, batch in zip(range(max_batches), iter(valid_iter)):
+      key, sub = jax.random.split(key)
+      nll, n = self.eval_step(state, self._put(batch), sub)
+      total += float(nll)
+      count += float(n)
+    return total / max(count, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax) — EMA + optimizer + iterator state in one tree,
+# replacing the reference's two systems (Lightning ckpt callbacks +
+# hand-rolled torch dicts, SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState,
+                    iterator_state: dict | None = None) -> None:
+  import orbax.checkpoint as ocp
+  path = os.path.abspath(os.path.join(ckpt_dir, f'step_{int(state.step)}'))
+  with ocp.CheckpointManager(
+      os.path.abspath(ckpt_dir),
+      options=ocp.CheckpointManagerOptions(max_to_keep=3)) as mgr:
+    mgr.save(int(state.step), args=ocp.args.Composite(
+        state=ocp.args.PyTreeSave(state_to_tree(state, iterator_state))))
+  del path
+
+
+_ITER_TEMPLATE = {'epoch': 0, 'counter': 0, 'seed': 0}
+
+
+def state_to_tree(state: TrainState, iterator_state: dict | None) -> dict:
+  # fixed iterator schema so save/restore trees always match even when
+  # one side has no live iterator
+  it = dict(_ITER_TEMPLATE)
+  it.update(iterator_state or {})
+  return {
+      'step': state.step,
+      'params': state.params,
+      'extras': state.extras,
+      'opt_state': state.opt_state,
+      'ema_shadow': state.ema.shadow,
+      'ema_num_updates': state.ema.num_updates,
+      'rng': jax.random.key_data(state.rng),
+      'iterator': it,
+  }
+
+
+def restore_checkpoint(ckpt_dir: str, template: TrainState,
+                       train_iter=None) -> TrainState:
+  import orbax.checkpoint as ocp
+  ckpt_dir = os.path.abspath(ckpt_dir)
+  if not os.path.isdir(ckpt_dir):
+    return template
+  with ocp.CheckpointManager(ckpt_dir) as mgr:
+    step = mgr.latest_step()
+    if step is None:
+      return template
+    tree = state_to_tree(template, train_iter.state_dict()
+                         if train_iter is not None else {})
+    restored = mgr.restore(step, args=ocp.args.Composite(
+        state=ocp.args.PyTreeRestore(tree)))['state']
+  if train_iter is not None and restored.get('iterator'):
+    train_iter.load_state_dict(
+        {k: int(v) if isinstance(v, (int, np.integer, np.ndarray))
+         else v for k, v in restored['iterator'].items()})
+  LOGGER.info('restored checkpoint at step %d', int(restored['step']))
+  return TrainState(
+      step=jnp.asarray(restored['step']),
+      params=restored['params'],
+      extras=restored['extras'],
+      opt_state=restored['opt_state'],
+      ema=ema_lib.EMAState(template.ema.decay,
+                           jnp.asarray(restored['ema_num_updates']),
+                           restored['ema_shadow']),
+      rng=jax.random.wrap_key_data(restored['rng']),
+  )

@@ -1,0 +1,205 @@
+"""Value-network training (MC and CD-Q).
+
+Rebuild of the reference's hand-rolled value trainer (/root/reference/
+trainer.py:52-260 + the self-generating forward in Enformer.py:163-267):
+each step samples a full trajectory from the FROZEN diffusion model,
+builds regression targets (MC: final reward for every intermediate
+state; CD-Q: bootstrapped candidate-mean values), and takes one AdamW
+step on the value net.
+
+TPU-native design: trajectory generation + target construction + the
+value-net grad step compose into ONE jitted program per iteration —
+the reference's AMP GradScaler is unnecessary (bf16 on TPU needs no
+loss scaling), and the token-based warmup + cosine decay LR
+(trainer.py:211-223) maps to an optax schedule on the same token count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from svdd_tpu import utils, value as value_lib
+from svdd_tpu.config import Config
+from svdd_tpu.diffusion import Diffusion
+
+LOGGER = utils.get_logger(__name__)
+
+
+class ValueTrainState(NamedTuple):
+  step: jnp.ndarray
+  params: Any
+  extras: Any
+  opt_state: Any
+  rng: jax.Array
+  tokens: jnp.ndarray   # token counter for the LR schedule
+
+
+@dataclasses.dataclass
+class ValueTrainerConfig:
+  """(reference trainer.py TrainerConfig:25-50)."""
+  learning_rate: float = 3e-4
+  betas: tuple = (0.9, 0.95)
+  grad_norm_clip: float = 1.0
+  weight_decay: float = 0.1
+  lr_decay: bool = False
+  warmup_tokens: float = 375e2
+  final_tokens: float = 260e7
+  max_iter: int = 50_000
+  cdq: bool = False
+  batch_size: int = 32
+  eval_every: int = 200
+  tokens_per_iter: float = 32 * 128 * 200 * 4   # (trainer.py:213)
+
+
+class ValueTrainer:
+  """Drives value-net fitting against a frozen Diffusion model."""
+
+  def __init__(self, diffusion: Diffusion, vf: value_lib.ValueFunction,
+               reward_fn, tcfg: ValueTrainerConfig,
+               sample_M: int = 10):
+    self.diffusion = diffusion
+    self.vf = vf
+    self.reward_fn = reward_fn
+    self.tcfg = tcfg
+    self.sample_M = sample_M
+
+    sched = (self._token_schedule() if tcfg.lr_decay
+             else tcfg.learning_rate)
+    self.opt = optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_norm_clip),
+        optax.adamw(sched, b1=tcfg.betas[0], b2=tcfg.betas[1],
+                    weight_decay=tcfg.weight_decay),
+    )
+    if tcfg.cdq:
+      self._sampler = diffusion.cdq_sampler(
+          tcfg.batch_size, repeats=10)
+    else:
+      self._sampler = diffusion.sampler(tcfg.batch_size,
+                                        collect_mid=True)
+    self._train_step = jax.jit(self._make_step(), donate_argnums=(0,))
+
+  def _token_schedule(self):
+    t = self.tcfg
+    def sched(step):
+      tokens = step * t.tokens_per_iter
+      return t.learning_rate * utils.token_cosine_lr_mult(
+          tokens, t.warmup_tokens, t.final_tokens)
+    return sched
+
+  def init_state(self, rng: jax.Array) -> ValueTrainState:
+    variables = dict(self.vf.variables)
+    # deep-copy: the donated train step must not invalidate vf.variables
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                          variables.pop('params'))
+    return ValueTrainState(jnp.asarray(0), params, variables,
+                           self.opt.init(params), rng, jnp.asarray(0.0))
+
+  def _make_step(self):
+    module = self.vf.module
+    has_stats = 'batch_stats' in self.vf.variables
+
+    def step(state: ValueTrainState, _):
+      rng, k_sample, k_drop = jax.random.split(state.rng, 3)
+      res = self._sampler(k_sample)
+      if self.tcfg.cdq:
+        # bootstrap targets use the CURRENT (stop-gradient) value net
+        frozen_value = lambda oh: module.apply(
+            {'params': state.params, **state.extras}, oh)
+        batch = value_lib.cdq_targets(
+            res.samples, res.mid_x, res.extra, self.reward_fn,
+            frozen_value)
+      else:
+        batch = value_lib.mc_targets(res.samples, res.mid_x,
+                                     self.reward_fn)
+
+      def loss_fn(params):
+        variables = {'params': params, **state.extras}
+        if has_stats:
+          preds, updates = module.apply(
+              variables, batch.onehots, train=True,
+              mutable=['batch_stats'], rngs={'dropout': k_drop})
+        else:
+          preds = module.apply(variables, batch.onehots, train=True,
+                               rngs={'dropout': k_drop})
+          updates = {}
+        loss = jnp.mean((preds.reshape(-1)
+                         - batch.targets.reshape(-1)) ** 2)
+        return loss, updates
+
+      (loss, updates), grads = jax.value_and_grad(
+          loss_fn, has_aux=True)(state.params)
+      upd, opt_state = self.opt.update(grads, state.opt_state,
+                                       state.params)
+      params = optax.apply_updates(state.params, upd)
+      extras = {**state.extras, **updates}
+      return ValueTrainState(
+          state.step + 1, params, extras, opt_state, rng,
+          state.tokens + self.tcfg.tokens_per_iter), loss
+
+    return step
+
+  def train(self, state: ValueTrainState, num_iters: int,
+            log_every: int = 50) -> ValueTrainState:
+    t0 = time.time()
+    for i in range(num_iters):
+      state, loss = self._train_step(state, None)
+      if int(state.step) % log_every == 0:
+        LOGGER.info('value step %d MSE %.5f (%.2f it/s)',
+                    int(state.step), float(loss),
+                    log_every / max(time.time() - t0, 1e-9))
+        t0 = time.time()
+    return state
+
+  def updated_value_function(self, state: ValueTrainState
+                             ) -> value_lib.ValueFunction:
+    return value_lib.ValueFunction(
+        self.vf.module, {'params': state.params, **state.extras},
+        self.vf.length, self.vf.timed)
+
+  # -- per-timestep eval (Enformer.py evaluate_seq_step:318-341) ------------
+
+  def evaluate_seq_step(self, state: ValueTrainState,
+                        eval_batches, eval_targets):
+    """Per-timestep MSE + PearsonR over pre-generated eval batches."""
+    losses, pearsons = [], []
+    variables = {'params': state.params, **state.extras}
+    for onehots, target in zip(eval_batches, eval_targets):
+      preds = np.asarray(self.vf.module.apply(variables, onehots))
+      y = np.asarray(target).reshape(-1)
+      p = preds.reshape(-1)
+      losses.append(float(np.mean((p - y) ** 2)))
+      denom = p.std() * y.std()
+      pearsons.append(float(np.mean((p - p.mean()) * (y - y.mean()))
+                            / denom) if denom > 0 else 0.0)
+    return losses, pearsons
+
+
+def build_eval_timestep_batches(diffusion: Diffusion, reward_fn,
+                                batch_size: int, val_batch_num: int,
+                                key: jax.Array):
+  """Pre-generate per-timestep eval batches by sampling the diffusion
+  model full-depth (BaseModel.__init__, Enformer.py:135-160):
+  returns (eval_batches[t], eval_targets[t]) for t in 0..S-1."""
+  from svdd_tpu import mdlm
+  sampler = diffusion.sampler(batch_size, collect_mid=True)
+  steps = diffusion.config.sampling.steps
+  all_samples = [[] for _ in range(steps)]
+  all_targets = [[] for _ in range(steps)]
+  for i in range(val_batch_num):
+    key, sub = jax.random.split(key)
+    res = sampler(sub)
+    target = reward_fn(mdlm.transform_samples(res.samples))
+    states = list(res.mid_x) + [res.samples]
+    for t, s in enumerate(states):
+      all_samples[t].append(mdlm.transform_samples(s))
+      all_targets[t].append(target)
+  eval_batches = [jnp.concatenate(s) for s in all_samples]
+  eval_targets = [jnp.concatenate(t) for t in all_targets]
+  return eval_batches, eval_targets
