@@ -1,0 +1,132 @@
+"""Benchmark: SVDD-MC guided decoding throughput (sequences/sec/chip).
+
+The headline workload mirrors the reference's flagship path
+(BASELINE.md: decode batch 256, sample_M 10, 128 diffusion steps,
+L=200 DNA): CNN denoiser (hidden 128, 20 dilated convs,
+configs_gosai/model/dnaconv.yaml) + Enformer value net (1536ch conv
+tower + 11 transformer blocks, decode.py:78-80), value net in bf16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "seqs/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md
+§6), so the denominator is an ESTIMATED A100 throughput for the
+reference implementation, computed from the workload's FLOP count at
+312 TFLOP/s bf16 x 35% MFU. That estimate is deliberately generous to
+the baseline: the reference's per-step python loop runs its M value
+forwards sequentially (diffusion_gosai.py:1203-1209) with kernel-launch
+and host-sync overhead a FLOP model ignores, so its true MFU is far
+lower. vs_baseline > 1 therefore understates the real speedup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+A100_BF16_FLOPS = 312e12
+ASSUMED_REFERENCE_MFU = 0.35
+
+
+def build_workload(batch_size: int, sample_m: int, steps: int,
+                   length: int, small: bool):
+  from svdd_tpu.config import dna_config
+  from svdd_tpu.diffusion import Diffusion
+  from svdd_tpu.models.enformer import EnformerValueModel
+  from svdd_tpu import mdlm
+
+  cfg = dna_config()
+  cfg.model.length = length
+  cfg.sampling.steps = steps
+  if small:
+    cfg.model.hidden_dim = 32
+    cfg.model.num_cnn_stacks = 1
+
+  model = Diffusion(cfg, rng=jax.random.key(0))
+
+  if small:
+    value_module = EnformerValueModel(
+        n_tasks=1, n_conv=3, channels=256, n_transformers=1, n_heads=2,
+        key_len=8, compute_dtype=jnp.bfloat16)
+  else:
+    value_module = EnformerValueModel(
+        n_tasks=1, compute_dtype=jnp.bfloat16)
+  value_vars = value_module.init(jax.random.key(1),
+                                 jnp.zeros((1, length, 4)))
+
+  def value_fn(tokens):
+    onehot = mdlm.transform_samples(tokens)
+    return value_module.apply(value_vars, onehot)
+
+  sampler = model.controlled_sampler(value_fn, batch_size,
+                                     sample_M=sample_m)
+  return sampler
+
+
+def estimate_flops(sampler, key) -> float:
+  """Total FLOPs of one guided decode via XLA cost analysis."""
+  try:
+    lowered = jax.jit(sampler).lower(key)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    return float(cost.get('flops', 0.0))
+  except Exception:
+    return 0.0
+
+
+def main() -> None:
+  p = argparse.ArgumentParser()
+  p.add_argument('--batch_size', type=int, default=256)
+  p.add_argument('--sample_M', type=int, default=10)
+  p.add_argument('--steps', type=int, default=128)
+  p.add_argument('--length', type=int, default=200)
+  p.add_argument('--iters', type=int, default=3)
+  p.add_argument('--small', action='store_true',
+                 help='tiny CPU self-test preset')
+  args = p.parse_args()
+  if args.small:
+    args.batch_size, args.sample_M = 8, 4
+    args.steps, args.length = 8, 24
+    args.iters = 1
+
+  n_chips = jax.device_count()
+  sampler = build_workload(args.batch_size, args.sample_M, args.steps,
+                           args.length, args.small)
+
+  key = jax.random.key(0)
+  # warmup / compile
+  sampler(key).samples.block_until_ready()
+
+  t0 = time.perf_counter()
+  for i in range(args.iters):
+    out = sampler(jax.random.fold_in(key, i)).samples
+  out.block_until_ready()
+  dt = time.perf_counter() - t0
+  seqs_per_sec_chip = args.batch_size * args.iters / dt / n_chips
+
+  flops = estimate_flops(sampler, key)
+  if flops > 0:
+    ref_time_a100 = flops / (A100_BF16_FLOPS * ASSUMED_REFERENCE_MFU)
+    ref_seqs_per_sec = args.batch_size / ref_time_a100
+    vs_baseline = seqs_per_sec_chip / ref_seqs_per_sec
+  else:
+    vs_baseline = 0.0
+
+  print(json.dumps({
+      'metric': 'SVDD-MC decode throughput '
+                f'(B={args.batch_size}, M={args.sample_M}, '
+                f'steps={args.steps}, L={args.length})',
+      'value': round(seqs_per_sec_chip, 3),
+      'unit': 'seqs/sec/chip',
+      'vs_baseline': round(vs_baseline, 3),
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -175,11 +175,14 @@ class ConvGRUValueModel(nn.Module):
   Input one-hot (B, L, 4) -> (B,) value."""
   n_tasks: int = 1
   dropout: float = 0.1
+  compute_dtype: jnp.dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array, train: bool = False) -> Array:
+    x = x.astype(self.compute_dtype)
     x = ConvGRUTrunk(dropout=self.dropout)(x, train=train)
     x = blocks.ConvHead(n_tasks=self.n_tasks, in_channels=64,
                         act_func=None, pool_func='avg', norm=False)(
                             x, train=train)
+    x = x.astype(jnp.float32)
     return x[..., 0] if self.n_tasks == 1 else x

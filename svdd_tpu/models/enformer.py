@@ -59,15 +59,17 @@ def _pos_feats_central_mask(positions: np.ndarray, features: int
           ).astype(np.float32)
 
 
-def _gamma_pdf(x: np.ndarray, concentration: np.ndarray,
-               rate: np.ndarray) -> np.ndarray:
-  log_unnormalized = np.log(rate) * concentration + np.where(
-      x > 0, np.log(np.maximum(x, 1e-20)), 0.0) * (concentration - 1) \
-      - rate * x
-  # log prob = conc*log(rate) + (conc-1)*log(x) - rate*x - lgamma(conc)
+def _gamma_log_pdf(x: np.ndarray, concentration: np.ndarray,
+                   rate: np.ndarray) -> np.ndarray:
+  # log p = conc*log(rate) + (conc-1)*log(x) - rate*x - lgamma(conc)
   from scipy.special import gammaln
-  log_normalization = gammaln(concentration)
-  return np.exp(log_unnormalized - log_normalization)
+  logx = np.where(x > 0, np.log(np.maximum(x, 1e-20)), -np.inf)
+  with np.errstate(invalid='ignore'):
+    out = (np.log(rate) * concentration
+           + np.where(concentration == 1.0, 0.0,
+                      logx * (concentration - 1))
+           - rate * x - gammaln(concentration))
+  return np.where(np.isfinite(out), out, -np.inf)
 
 
 def _pos_feats_gamma(positions: np.ndarray, features: int, seq_len: int,
@@ -77,9 +79,14 @@ def _pos_feats_gamma(positions: np.ndarray, features: int, seq_len: int,
   mean = np.linspace(start_mean, seq_len, features)[None, :]
   concentration = (mean / stddev) ** 2
   rate = mean / stddev ** 2
-  probs = _gamma_pdf(np.abs(positions).astype(np.float64)[:, None],
-                     concentration, rate)
-  probs = probs + eps
+  # normalize in LOG space: at short seq_len the concentration grows to
+  # ~1e4 and the pdf under/overflows float64, which NaN'd the
+  # probs/amax normalization
+  logp = _gamma_log_pdf(np.abs(positions).astype(np.float64)[:, None],
+                        concentration, rate)
+  logmax = np.amax(logp, axis=-1, keepdims=True)
+  logmax = np.where(np.isfinite(logmax), logmax, 0.0)
+  probs = np.exp(logp - logmax) + eps
   return (probs / np.amax(probs, axis=-1, keepdims=True)
           ).astype(np.float32)
 
@@ -276,10 +283,12 @@ class EnformerValueModel(nn.Module):
   n_heads: int = 8
   key_len: int = 64
   timed: bool = False
+  compute_dtype: jnp.dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array, time_indices: Array | None = None,
                train: bool = False) -> Array:
+    x = x.astype(self.compute_dtype)
     if self.timed:
       if time_indices is None:
         raise ValueError('timed model requires time_indices')
@@ -293,4 +302,5 @@ class EnformerValueModel(nn.Module):
                         in_channels=2 * self.channels,
                         act_func=None, pool_func='avg', norm=False)(
                             x, train=train)
+    x = x.astype(jnp.float32)
     return x[..., 0] if self.n_tasks == 1 else x

@@ -59,11 +59,11 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
 
 def init_state(model: Diffusion, config: Config,
                rng: jax.Array) -> TrainState:
-  variables = dict(model.variables)
   # deep-copy so the donated train-step buffers never alias
   # model.variables (which outlives the train state)
-  params = jax.tree.map(lambda x: jnp.array(x, copy=True),
-                        variables.pop('params'))
+  variables = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                           dict(model.variables))
+  params = variables.pop('params')
   opt = make_optimizer(config)
   return TrainState(
       step=jnp.asarray(0),

@@ -94,10 +94,10 @@ class ValueTrainer:
     return sched
 
   def init_state(self, rng: jax.Array) -> ValueTrainState:
-    variables = dict(self.vf.variables)
     # deep-copy: the donated train step must not invalidate vf.variables
-    params = jax.tree.map(lambda x: jnp.array(x, copy=True),
-                          variables.pop('params'))
+    variables = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                             dict(self.vf.variables))
+    params = variables.pop('params')
     return ValueTrainState(jnp.asarray(0), params, variables,
                            self.opt.init(params), rng, jnp.asarray(0.0))
 

@@ -1,0 +1,167 @@
+"""DiMamba / AR / MultiSep / analysis suite / native kernels."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svdd_tpu.config import tiny_test_config
+
+
+def test_selective_scan_matches_sequential():
+  from svdd_tpu.models.dimamba import selective_scan
+  key = jax.random.key(0)
+  b, l, d, n = 2, 6, 4, 3
+  ks = jax.random.split(key, 5)
+  u = jax.random.normal(ks[0], (b, l, d))
+  dt = jax.nn.softplus(jax.random.normal(ks[1], (b, l, d)))
+  A = -jnp.exp(jax.random.normal(ks[2], (d, n)))
+  B = jax.random.normal(ks[3], (b, l, n))
+  C = jax.random.normal(ks[4], (b, l, n))
+  D = jnp.ones((d,))
+  y = selective_scan(u, dt, A, B, C, D)
+  # sequential reference recurrence
+  h = np.zeros((b, d, n))
+  ys = []
+  for t in range(l):
+    dA = np.exp(np.asarray(dt)[:, t, :, None] * np.asarray(A)[None])
+    dBu = (np.asarray(dt)[:, t, :, None]
+           * np.asarray(B)[:, t, None, :]
+           * np.asarray(u)[:, t, :, None])
+    h = dA * h + dBu
+    ys.append(np.einsum('bdn,bn->bd', h, np.asarray(C)[:, t]))
+  y_ref = np.stack(ys, 1) + np.asarray(u) * np.asarray(D)
+  np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4)
+
+
+def test_dimamba_backbone():
+  from svdd_tpu.diffusion import Diffusion
+  cfg = tiny_test_config('rna')
+  cfg.backbone = 'dimamba'
+  cfg.model.n_layer = 2
+  cfg.model.d_model = 32
+  cfg.parallel.precision = 'fp32'
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  x = np.asarray(model.sampler(4)(jax.random.key(1)).samples)
+  assert (x >= 0).all() and (x < 4).all()
+
+
+def test_ar_backbone_and_sampler():
+  from svdd_tpu.models.autoregressive import ARModel, ar_sample
+  cfg = tiny_test_config('rna')
+  model = ARModel(config=cfg, vocab_size=5,
+                  compute_dtype=jnp.float32)
+  variables = model.init(jax.random.key(0),
+                         jnp.zeros((1, cfg.model.length), jnp.int32))
+  x = ar_sample(model, variables, 2, cfg.model.length,
+                jax.random.key(1))
+  assert x.shape == (2, cfg.model.length)
+  # log-probs normalized
+  lp = model.apply(variables, x, jnp.zeros((2,)))
+  np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0,
+                             rtol=1e-4)
+
+
+def test_multisep_value_model():
+  from svdd_tpu.models.multisep import MultiSepValueModel
+  from svdd_tpu.models.convgru import ConvGRUValueModel
+  msm = MultiSepValueModel(ConvGRUValueModel(), n_models=4,
+                           num_steps=8)
+  dummy = jnp.zeros((1, 12, 4))
+  stacked = msm.init(jax.random.key(0), dummy)
+  x = jax.random.normal(jax.random.key(1), (3, 12, 4))
+  out0 = msm.apply_at_step(stacked, x, jnp.asarray(0))
+  out7 = msm.apply_at_step(stacked, x, jnp.asarray(7))
+  assert out0.shape == (3,)
+  assert not np.allclose(np.asarray(out0), np.asarray(out7))
+  all_out = msm.apply_all(stacked, x)
+  assert all_out.shape == (4, 3)
+  np.testing.assert_allclose(np.asarray(all_out[0]), np.asarray(out0),
+                             rtol=1e-5)
+
+
+def test_ism_and_attributions():
+  from svdd_tpu.analysis import interpret
+  from svdd_tpu import rewards
+  L = 12
+  reward = rewards.synthetic_motif_oracle(L)
+  onehot = jax.nn.one_hot(
+      jax.random.randint(jax.random.key(0), (L,), 0, 4), 4)
+  ism = interpret.ism_predict(reward, onehot)
+  assert ism.shape == (L, 4)
+  # current-base entries equal the unmutated prediction
+  base_pred = float(reward(onehot[None])[0])
+  cur = (np.asarray(ism) * np.asarray(onehot)).sum(-1)
+  np.testing.assert_allclose(cur, base_pred, atol=1e-5)
+  for method in ('inputxgradient', 'integratedgradients', 'deepshap',
+                 'ism'):
+    attr = interpret.get_attributions(reward, onehot, method=method)
+    assert attr.shape == (L, 4)
+    assert np.isfinite(attr).all()
+
+
+def test_evolve_increases_reward():
+  from svdd_tpu.analysis.design import evolve
+  from svdd_tpu import rewards
+  L = 12
+  reward = rewards.synthetic_motif_oracle(L)
+  # seed one mutation away from the GCGC motif so greedy has a slope
+  seed = jnp.zeros((L,), jnp.int32).at[0].set(2).at[1].set(1).at[2].set(2)
+  onehot = jax.nn.one_hot(seed, 4)
+  best, history = evolve(reward, onehot, rounds=6)
+  assert history[-1] > history[0]
+
+
+def test_format_conversions():
+  from svdd_tpu.analysis import formats
+  seqs = ['ACGT', 'TTAA']
+  idx = formats.convert_input_type(seqs, 'indices')
+  np.testing.assert_array_equal(idx, [[0, 1, 2, 3], [3, 3, 0, 0]])
+  onehot = formats.convert_input_type(idx, 'one_hot')
+  assert onehot.shape == (2, 4, 4)
+  back = formats.convert_input_type(onehot, 'strings')
+  assert back == seqs
+  with pytest.raises(ValueError):
+    formats.check_strings(['ACGX'])
+
+
+def test_native_kernels_match_python():
+  pytest.importorskip('ctypes')
+  try:
+    from svdd_tpu.native import bindings
+  except Exception:
+    pytest.skip('native toolchain unavailable')
+  seqs = ['ACGTACGTAA', 'TTTTGGGGCC']
+  toks = bindings.batch_tokenize(seqs)
+  assert bindings.batch_detokenize(toks) == seqs
+  from svdd_tpu.eval import metrics
+  want = {}
+  for s in seqs:
+    for i in range(len(s) - 2):
+      want[s[i:i+3]] = want.get(s[i:i+3], 0) + 1
+  assert bindings.count_kmers(seqs, 3) == want
+
+
+def test_streaming_pearson_matches_scipy():
+  from svdd_tpu.eval.metrics import PearsonState, R2State
+  from scipy.stats import pearsonr
+  rng = np.random.default_rng(0)
+  y = rng.standard_normal(100)
+  p = y * 0.5 + rng.standard_normal(100) * 0.3
+  st = PearsonState.init(1)
+  for i in range(0, 100, 25):
+    st = st.update(jnp.asarray(y[i:i+25]), jnp.asarray(p[i:i+25]))
+  np.testing.assert_allclose(float(st.compute()), pearsonr(y, p)[0],
+                             rtol=1e-5)
+  r2 = R2State.init(1)
+  r2 = r2.update(jnp.asarray(y), jnp.asarray(p))
+  expected = 1 - ((y - p) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+  np.testing.assert_allclose(float(r2.compute()), expected, rtol=1e-5)
+
+
+def test_quantile_report_and_kmer_pearson():
+  from svdd_tpu.eval.metrics import quantile_report, kmer_pearson
+  rep = quantile_report({'a': np.arange(100.0)})
+  assert rep['a']['q50'] == pytest.approx(49.5)
+  r = kmer_pearson(['ACGTACGT'] * 4, ['ACGTACGT'] * 3)
+  assert r == pytest.approx(1.0)
