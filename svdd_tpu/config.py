@@ -133,7 +133,11 @@ class Config:
   T: int = 0                   # 0 = continuous time
   subs_masking: bool = False
   seed: int = 1
-  task: str = 'dna'            # dna / rna / rna_saluki
+  task: str = 'dna'            # dna / rna / rna_saluki / text
+  # alphabet size WITHOUT the mask token; 4 = {A,C,G,T} for the bio
+  # tasks (diffusion_gosai.py:85-95); text MDLM sets the tokenizer's
+  # vocab size here (legacy diffusion.py pipeline)
+  alphabet_size: int = 4
 
   noise: NoiseConfig = field(default_factory=NoiseConfig)
   model: ModelConfig = field(default_factory=ModelConfig)
@@ -148,11 +152,11 @@ class Config:
 
   @property
   def vocab_size(self) -> int:
-    return 5   # A, C, G, T + MASK (diffusion_gosai.py:85-95)
+    return self.alphabet_size + 1   # + MASK (diffusion_gosai.py:94-95)
 
   @property
   def mask_index(self) -> int:
-    return 4
+    return self.alphabet_size
 
   def override(self, **overrides: Any) -> 'Config':
     cfg = dataclasses.replace(self)
