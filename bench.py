@@ -28,6 +28,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the axon remote-compile path is slow
+# (minutes for the 128-step guided scan), but compiled executables are
+# reusable across processes
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
 
 A100_BF16_FLOPS = 312e12
 ASSUMED_REFERENCE_MFU = 0.35

@@ -1,0 +1,12 @@
+"""One-way importers: reference torch checkpoints -> flax param trees.
+
+The reference ships torch-pickle checkpoints in three formats
+(SURVEY.md §5): Lightning diffusion ckpts, grelu LightningModel reward
+oracles, and hand-rolled value-net dicts (trainer.py:73-96). These
+importers map their state-dict layouts onto svdd_tpu's flax modules so
+reference users can carry weights across. Validated by numerical
+parity tests against the reference architectures run under torch-CPU
+(tests/test_importers.py).
+"""
+
+from svdd_tpu.importers.cnn import import_cnn_params  # noqa: F401
