@@ -120,6 +120,7 @@ class ParallelConfig:
   data_axis: int = -1          # -1: all devices
   model_axis: int = 1
   fsdp: bool = False           # shard params/opt-state over data axis
+  fsdp_min_size: int = 2 ** 14  # replicate params smaller than this
   precision: str = 'bf16'      # compute dtype for model forwards
 
 

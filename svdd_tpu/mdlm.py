@@ -270,3 +270,30 @@ def transform_samples(samples: Array, num_classes: int = 4) -> Array:
   mask = samples != num_classes
   onehot = jax.nn.one_hot(jnp.where(mask, samples, 0), num_classes)
   return onehot * mask[..., None]
+
+
+def transform_samples_saluki(samples: Array,
+                             saluki_body: Array | None = None,
+                             num_classes: int = 4,
+                             final_length: int = 12288) -> Array:
+  """Saluki stability-reward input builder (Enformer.py:279-316):
+  one-hot with MASK rows zeroed, two extra zero channels (coding-frame
+  and splice tracks), the constant 'body' tensor concatenated behind
+  each sequence, zero-padded to (N, 12288, 6).
+
+  The reference loads the body from a fixed .npy on the author's
+  machine (Enformer.py:293-300); pass it here or get all-zeros.
+  """
+  onehot = transform_samples(samples, num_classes)
+  n, l, _ = onehot.shape
+  six = jnp.concatenate(
+      [onehot, jnp.zeros((n, l, 2), onehot.dtype)], axis=-1)
+  if saluki_body is not None:
+    body = jnp.broadcast_to(saluki_body[None],
+                            (n,) + saluki_body.shape).astype(six.dtype)
+    six = jnp.concatenate([six, body], axis=1)
+  pad = final_length - six.shape[1]
+  if pad > 0:
+    six = jnp.concatenate(
+        [six, jnp.zeros((n, pad, 6), six.dtype)], axis=1)
+  return six[:, :final_length]

@@ -65,6 +65,7 @@ class CNNModel(nn.Module):
   @nn.compact
   def __call__(self, seq: Array, sigma: Array, *,
                x_onehot: Optional[Array] = None,
+               cls: Optional[Array] = None,
                train: bool = False) -> Array:
     mcfg = self.config.model
     hidden = mcfg.hidden_dim
@@ -86,6 +87,15 @@ class CNNModel(nn.Module):
         nn.Conv(hidden, (9,), padding='SAME', dtype=dtype,
                 name='stem')(feat))
 
+    # classifier-free guidance conditioning (dnaconv.py:174-177,
+    # 198-199): class embedding added per layer like the time emb
+    cls_emb = None
+    if mcfg.cls_free_guidance and not self.classifier:
+      if cls is None:
+        cls = jnp.full((feat.shape[0],), self.num_cls, jnp.int32)
+      cls_emb = nn.Embed(self.num_cls + 1, hidden, dtype=dtype,
+                         name='cls_embedder')(cls)
+
     # dilation varies slowly: [1]*s + [1]*s + [4]*s + [16]*s + [64]*s
     dilations = [d for d in (1, 1, 4, 16, 64)
                  for _ in range(mcfg.num_cnn_stacks)]
@@ -95,6 +105,9 @@ class CNNModel(nn.Module):
       h = nn.Dropout(mcfg.dropout, deterministic=not train)(feat)
       h = h + nn.Dense(hidden, dtype=dtype, name=f'time_{i}')(
           time_emb)[:, None, :]
+      if cls_emb is not None:
+        h = h + nn.Dense(hidden, dtype=dtype, name=f'cls_{i}')(
+            cls_emb)[:, None, :]
       h = nn.LayerNorm(dtype=dtype, name=f'norm_{i}')(h)
       h = jax.nn.relu(
           nn.Conv(hidden, (9,), kernel_dilation=(dilation,),

@@ -84,16 +84,17 @@ def fsdp_spec(x: Any, mesh: Mesh, min_size: int = 2 ** 14) -> P:
   return P(*spec)
 
 
-def fsdp_shard(tree: Any, mesh: Mesh) -> Any:
+def fsdp_shard(tree: Any, mesh: Mesh, min_size: int = 2 ** 14) -> Any:
   """Apply fsdp_spec to every leaf and device_put."""
   return jax.tree.map(
       lambda x: jax.device_put(
-          x, NamedSharding(mesh, fsdp_spec(x, mesh))), tree)
+          x, NamedSharding(mesh, fsdp_spec(x, mesh, min_size))), tree)
 
 
-def fsdp_shardings(tree: Any, mesh: Mesh) -> Any:
+def fsdp_shardings(tree: Any, mesh: Mesh,
+                   min_size: int = 2 ** 14) -> Any:
   return jax.tree.map(
-      lambda x: NamedSharding(mesh, fsdp_spec(x, mesh)), tree)
+      lambda x: NamedSharding(mesh, fsdp_spec(x, mesh, min_size)), tree)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
@@ -105,3 +106,23 @@ def local_shard_info(mesh: Optional[Mesh] = None):
   """(num_shards, shard_index) for the data iterator: one shard per
   process (multi-host), all devices fed via shard_batch."""
   return jax.process_count(), jax.process_index()
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+  """Multi-host bootstrap.
+
+  The NCCL/mp.spawn bootstrap the reference hand-rolls
+  (train.py:36-45, 295-300) collapses to jax.distributed.initialize():
+  on TPU pods the coordinator is discovered from the environment; the
+  explicit args cover DCN-connected CPU/GPU testing. Safe to call when
+  already initialized or single-process.
+  """
+  try:
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+  except (RuntimeError, ValueError):
+    pass   # already initialized or single-process context

@@ -133,13 +133,15 @@ class Trainer:
     if self.mesh is not None:
       from svdd_tpu.parallel import mesh as M
       if self.config.parallel.fsdp:
+        ms = self.config.parallel.fsdp_min_size
         state = TrainState(
             state.step,
-            M.fsdp_shard(state.params, self.mesh),
+            M.fsdp_shard(state.params, self.mesh, ms),
             M.replicate(state.extras, self.mesh),
-            M.fsdp_shard(state.opt_state, self.mesh),
+            M.fsdp_shard(state.opt_state, self.mesh, ms),
             ema_lib.EMAState(state.ema.decay, state.ema.num_updates,
-                             M.fsdp_shard(state.ema.shadow, self.mesh)),
+                             M.fsdp_shard(state.ema.shadow, self.mesh,
+                                          ms)),
             state.rng)
       else:
         state = TrainState(
