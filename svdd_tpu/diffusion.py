@@ -248,6 +248,19 @@ class Diffusion:
                           self.mask_index, repeats=sample_M)
     return self._make_sampler(step, denoise, batch_size, num_steps, eps)
 
+  def controlled_sampler_timed(self, value_fn_timed, batch_size: int, *,
+                               sample_M: int = 10,
+                               num_steps: int | None = None,
+                               eps: float = 1e-5,
+                               variables: Any | None = None):
+    """SVDD-MC with step-indexed value fn (timed / multisep models)."""
+    denoise = self.denoise_fn(variables)
+    steps = num_steps or self.config.sampling.steps
+    step = G.svdd_mc_step_timed(denoise, value_fn_timed, self.schedule,
+                                self.mask_index, steps, eps,
+                                repeats=sample_M)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+
   def tweedie_sampler(self, reward_fn, batch_size: int, *,
                       sample_M: int = 10, tweedie: bool = True,
                       num_steps: int | None = None, eps: float = 1e-5,

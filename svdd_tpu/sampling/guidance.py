@@ -82,6 +82,34 @@ def svdd_mc_step(denoise_fn: DenoiseFn, value_fn: ValueFn,
   return step
 
 
+def svdd_mc_step_timed(denoise_fn: DenoiseFn, value_fn_timed,
+                       schedule: Schedule, mask_index: int,
+                       num_steps: int, eps: float = 1e-5,
+                       repeats: int = 10) -> StepFn:
+  """SVDD-MC with a step-indexed value function — serves the
+  timed / multisep value models (reference TimedEnformerTrunk and
+  BaseModelMultiSep, Enformer.py:1202-1268, :867-1102).
+
+  value_fn_timed(tokens (N, L), step_idx scalar int) -> (N,).
+  The scan passes scalar time t; the discrete step index is recovered
+  from the timestep grid t_i = 1 - i (1-eps)/num_steps.
+  """
+
+  def step(aux, x, t, t_next, key):
+    b, l = x.shape
+    sigma_t, _, mct, mcs = _move_chances(schedule, t, t_next)
+    log_p = denoise_fn(x, jnp.full((b,), sigma_t))
+    log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
+    candidates = _draw_candidates(key, log_q, x, mask_index, repeats)
+    step_idx = jnp.round(
+        (1.0 - t) * num_steps / (1.0 - eps)).astype(jnp.int32)
+    scores = value_fn_timed(candidates.reshape(b * repeats, l),
+                            step_idx).reshape(b, repeats)
+    return aux, _select_best(candidates, scores)
+
+  return step
+
+
 def _tweedie_posterior_onehot(denoise_fn: DenoiseFn, samples: Array,
                               sigma_s: Array, mask_index: int) -> Array:
   """r(E[x0|x]) input: argmax of the denoiser posterior at still-masked
