@@ -195,16 +195,23 @@ class Diffusion:
     )
 
   def _make_sampler(self, step_fn, denoise, batch_size, num_steps, eps,
-                    collect_mid=False, collect_aux=False, aux_init=()):
+                    collect_mid=False, collect_aux=False, aux_init=(),
+                    mesh=None):
+    shard = None
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      sharding = NamedSharding(mesh, P('data', None))
+      shard = lambda x: jax.lax.with_sharding_constraint(x, sharding)
     fn = S.reverse_process(
         step_fn, denoise, self.schedule,
         collect_mid=collect_mid, collect_aux=collect_aux,
-        aux_init=aux_init, **self._base_kwargs(batch_size, num_steps, eps))
+        aux_init=aux_init, shard_constraint=shard,
+        **self._base_kwargs(batch_size, num_steps, eps))
     return jax.jit(fn)
 
   def sampler(self, batch_size: int, *, num_steps: int | None = None,
               eps: float = 1e-5, collect_mid: bool = False,
-              variables: Any | None = None):
+              variables: Any | None = None, mesh: Any = None):
     """Uncontrolled sampler (_sample/decode_sample,
     diffusion_gosai.py:821-936). Returns jitted key -> SampleResult."""
     denoise = self.denoise_fn(variables)
@@ -222,7 +229,8 @@ class Diffusion:
     else:
       raise ValueError(pred)
     return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              collect_mid=collect_mid, aux_init=aux_init)
+                              collect_mid=collect_mid, aux_init=aux_init,
+                              mesh=mesh)
 
   def cdq_sampler(self, batch_size: int, *, repeats: int = 10,
                   num_steps: int | None = None, eps: float = 1e-5,
@@ -241,65 +249,73 @@ class Diffusion:
 
   def controlled_sampler(self, value_fn, batch_size: int, *,
                          sample_M: int = 10, num_steps: int | None = None,
-                         eps: float = 1e-5, variables: Any | None = None):
+                         eps: float = 1e-5, variables: Any | None = None,
+                         mesh: Any = None):
     """SVDD-MC (controlled_sample, diffusion_gosai.py:1022-1062)."""
     denoise = self.denoise_fn(variables)
     step = G.svdd_mc_step(denoise, value_fn, self.schedule,
                           self.mask_index, repeats=sample_M)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
+                              mesh=mesh)
 
   def controlled_sampler_timed(self, value_fn_timed, batch_size: int, *,
                                sample_M: int = 10,
                                num_steps: int | None = None,
                                eps: float = 1e-5,
-                               variables: Any | None = None):
+                               variables: Any | None = None,
+                               mesh: Any = None):
     """SVDD-MC with step-indexed value fn (timed / multisep models)."""
     denoise = self.denoise_fn(variables)
     steps = num_steps or self.config.sampling.steps
     step = G.svdd_mc_step_timed(denoise, value_fn_timed, self.schedule,
                                 self.mask_index, steps, eps,
                                 repeats=sample_M)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
+                              mesh=mesh)
 
   def tweedie_sampler(self, reward_fn, batch_size: int, *,
                       sample_M: int = 10, tweedie: bool = True,
                       num_steps: int | None = None, eps: float = 1e-5,
-                      variables: Any | None = None):
+                      variables: Any | None = None, mesh: Any = None):
     """SVDD-PM (controlled_sample_tweedie, diffusion_gosai.py:1106-1145)."""
     denoise = self.denoise_fn(variables)
     step = G.svdd_pm_step(denoise, reward_fn, self.schedule,
                           self.mask_index, repeats=sample_M,
                           tweedie=tweedie)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
+                              mesh=mesh)
 
   def tds_sampler(self, reward_fn, batch_size: int, *, alpha: float = 1.0,
                   num_steps: int | None = None, eps: float = 1e-5,
-                  variables: Any | None = None):
+                  variables: Any | None = None, mesh: Any = None):
     """TDS SMC baseline (controlled_sample_TDS, diffusion_gosai.py:938-978)."""
     denoise = self.denoise_fn(variables)
     step = G.tds_step(denoise, reward_fn, self.schedule, self.mask_index,
                       alpha=alpha)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
+                              mesh=mesh)
 
   def dps_sampler(self, reward_fn, batch_size: int, *,
                   guidance_scale: float = 1.0,
                   num_steps: int | None = None, eps: float = 1e-5,
-                  variables: Any | None = None):
+                  variables: Any | None = None, mesh: Any = None):
     """DPS baseline (controlled_sample_DPS, diffusion_gosai.py:980-1020)."""
     denoise = self.denoise_fn(variables)
     step = G.dps_step(self.denoise_onehot_fn(variables), reward_fn,
                       self.schedule, self.mask_index,
                       guidance_scale=guidance_scale)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
+                              mesh=mesh)
 
   def classifier_sampler(self, value_fn_onehot, batch_size: int, *,
                          guidance_scale: float = 1.0,
                          num_steps: int | None = None, eps: float = 1e-5,
-                         variables: Any | None = None):
+                         variables: Any | None = None, mesh: Any = None):
     """Classifier guidance (controlled_sample_classfier,
     diffusion_gosai.py:1064-1104)."""
     denoise = self.denoise_fn(variables)
     step = G.classifier_step(denoise, value_fn_onehot, self.schedule,
                              self.mask_index,
                              guidance_scale=guidance_scale)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps)
+    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
+                              mesh=mesh)

@@ -234,17 +234,38 @@ class EnformerTrunk(nn.Module):
   pos_dropout: float = 0.01
   ff_dropout: float = 0.4
   crop_len: int = 0
+  # scan-over-layers: the 11 identical transformer blocks compile as
+  # ONE block body inside a lax.scan with stacked params instead of 11
+  # inlined copies — an order-of-magnitude smaller XLA graph (the
+  # remote TPU compiler takes minutes on the unrolled guided-decode
+  # scan otherwise), identical math.
+  scan_blocks: bool = True
 
   @nn.compact
   def __call__(self, x: Array, train: bool = False) -> Array:
     x = EnformerConvTower(n_blocks=self.n_conv,
                           out_channels=self.channels)(x, train=train)
-    for i in range(self.n_transformers):
-      x = EnformerTransformerBlock(
-          in_len=self.channels, n_heads=self.n_heads,
-          key_len=self.key_len, attn_dropout=self.attn_dropout,
-          pos_dropout=self.pos_dropout, ff_dropout=self.ff_dropout,
-          name=f'transformer_{i}')(x, train=train)
+    block_kwargs = dict(
+        in_len=self.channels, n_heads=self.n_heads,
+        key_len=self.key_len, attn_dropout=self.attn_dropout,
+        pos_dropout=self.pos_dropout, ff_dropout=self.ff_dropout)
+    if self.scan_blocks and self.n_transformers > 1:
+      class _ScanBody(nn.Module):
+        @nn.compact
+        def __call__(self, carry, _):
+          return EnformerTransformerBlock(**block_kwargs)(
+              carry, train=train), None
+
+      scanner = nn.scan(
+          _ScanBody,
+          variable_axes={'params': 0, 'batch_stats': 0},
+          split_rngs={'params': True, 'dropout': True},
+          length=self.n_transformers)
+      x, _ = scanner(name='transformer_stack')(x, None)
+    else:
+      for i in range(self.n_transformers):
+        x = EnformerTransformerBlock(
+            **block_kwargs, name=f'transformer_{i}')(x, train=train)
     x = blocks.ConvBlock(
         in_channels=self.channels, out_channels=self.channels * 2,
         kernel_size=1, act_func='gelu_enformer',

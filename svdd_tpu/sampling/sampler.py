@@ -149,6 +149,7 @@ def reverse_process(
     collect_mid: bool = False,
     collect_aux: bool = False,
     aux_init: Any = (),
+    shard_constraint: Optional[Callable[[Array], Array]] = None,
 ) -> Callable[[jax.Array], SampleResult]:
   """Build the full jitted sampler: prior -> scan(num_steps) -> removal.
 
@@ -161,6 +162,10 @@ def reverse_process(
 
   def sample(key: jax.Array) -> SampleResult:
     x = mdlm.sample_prior((batch_size, length), mask_index)
+    if shard_constraint is not None:
+      # pin the batch dim to the 'data' mesh axis; XLA propagates the
+      # layout through the whole scan (DDP decode semantics)
+      x = shard_constraint(x)
     key, scan_key, final_key = jax.random.split(key, 3)
 
     def body(carry, idx):
