@@ -22,6 +22,10 @@ def run(args) -> None:
   cfg = common.task_config(args)
   diffusion = common.load_diffusion(args, cfg)
   reward_fn = common.load_reward_fn(args, cfg)
+
+  if args.model == 'multienformer':
+    _run_multisep(args, cfg, diffusion, reward_fn)
+    return
   vf = common.load_value_function(args, cfg)
 
   tcfg = train_val.ValueTrainerConfig(
@@ -59,6 +63,28 @@ def run(args) -> None:
       save_pytree(args.save_path,
                   {'params': state.params, **state.extras})
       LOGGER.info('saved value net to %s', args.save_path)
+
+
+def _run_multisep(args, cfg, diffusion, reward_fn) -> None:
+  """--model multienformer (reference train.py:172-178 ->
+  BaseModelMultiSep, time-binned trunks)."""
+  import jax
+  from svdd_tpu.models.multisep import MultiSepValueModel
+  from svdd_tpu.value import build_value_module
+  module = build_value_module(
+      args.task if args.task in ('rna', 'rna_saluki') else 'dna',
+      'enformer', n_tasks=args.n_task)
+  msm = MultiSepValueModel(module, n_models=10,
+                           num_steps=cfg.sampling.steps)
+  tcfg = train_val.ValueTrainerConfig(
+      learning_rate=args.learning_rate, batch_size=args.batch_size,
+      max_iter=args.max_iters)
+  trainer = train_val.MultiSepTrainer(diffusion, msm, reward_fn, tcfg)
+  state = trainer.init_state(jax.random.key(args.seed))
+  state = trainer.train(state, tcfg.max_iter, log_every=args.eval_every)
+  if args.save_path:
+    save_pytree(args.save_path, state[1])
+    LOGGER.info('saved multisep value net to %s', args.save_path)
 
 
 def main() -> None:

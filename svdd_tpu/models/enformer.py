@@ -135,9 +135,9 @@ class EnformerAttention(nn.Module):
     b, n, _ = x.shape
     h, dk, dv = self.heads, self.dim_key, self.dim_value
 
-    q = nn.Dense(h * dk, use_bias=False, name='to_q')(x)
-    k = nn.Dense(h * dk, use_bias=False, name='to_k')(x)
-    v = nn.Dense(h * dv, use_bias=False, name='to_v')(x)
+    q = nn.Dense(h * dk, use_bias=False, dtype=x.dtype, name='to_q')(x)
+    k = nn.Dense(h * dk, use_bias=False, dtype=x.dtype, name='to_k')(x)
+    v = nn.Dense(h * dv, use_bias=False, dtype=x.dtype, name='to_v')(x)
     q = q.reshape(b, n, h, dk).transpose(0, 2, 1, 3)
     k = k.reshape(b, n, h, dk).transpose(0, 2, 1, 3)
     v = v.reshape(b, n, h, dv).transpose(0, 2, 1, 3)
@@ -154,16 +154,19 @@ class EnformerAttention(nn.Module):
     positions = jnp.asarray(
         relative_positional_basis(n, self.num_rel_pos_features),
         dtype=x.dtype)
-    rel_k = nn.Dense(h * dk, use_bias=False, name='to_rel_k')(positions)
+    rel_k = nn.Dense(h * dk, use_bias=False, dtype=x.dtype,
+                     name='to_rel_k')(positions)
     rel_k = rel_k.reshape(2 * n - 1, h, dk).transpose(1, 0, 2)
     rel_logits = jnp.einsum(
         'bhid,hjd->bhij', q + rel_pos_bias.astype(q.dtype), rel_k)
     rel_logits = relative_shift(rel_logits)
 
-    attn = jax.nn.softmax(content_logits + rel_logits, axis=-1)
+    attn = jax.nn.softmax(
+        (content_logits + rel_logits).astype(jnp.float32),
+        axis=-1).astype(x.dtype)
     out = jnp.einsum('bhij,bhjd->bhid', attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dv)
-    return nn.Dense(self.dim, name='to_out')(out)
+    return nn.Dense(self.dim, dtype=x.dtype, name='to_out')(out)
 
 
 class EnformerTransformerBlock(nn.Module):

@@ -181,6 +181,67 @@ class ValueTrainer:
     return losses, pearsons
 
 
+class MultiSepTrainer:
+  """Trains the time-binned MultiSep value model (reference
+  train.py --model multienformer -> BaseModelMultiSep.forward, which
+  returns per-bin losses; trainer.py:184-189 'multi_model' mode).
+
+  All bins update in one jitted step: trajectory states are sliced by
+  bin and each bin's trunk regresses onto the shared final reward."""
+
+  def __init__(self, diffusion: Diffusion, msm, reward_fn,
+               tcfg: ValueTrainerConfig):
+    from svdd_tpu.models import multisep as ms
+    self.diffusion = diffusion
+    self.msm = msm
+    self.reward_fn = reward_fn
+    self.tcfg = tcfg
+    self.opt = optax.adamw(tcfg.learning_rate)
+    self._sampler = diffusion.sampler(tcfg.batch_size,
+                                      collect_mid=True)
+    self._multisep_losses = ms.multisep_losses
+    self._train_step = jax.jit(self._make_step(), donate_argnums=(0,))
+
+  def init_state(self, rng: jax.Array):
+    dummy = jnp.zeros((1, self.diffusion.config.model.length, 4))
+    stacked = self.msm.init(rng, dummy)
+    stacked = jax.tree.map(lambda x: jnp.array(x, copy=True), stacked)
+    return (jnp.asarray(0), stacked, self.opt.init(stacked), rng)
+
+  def _make_step(self):
+    from svdd_tpu import mdlm as _mdlm
+
+    def step(state, _):
+      it, stacked, opt_state, rng = state
+      rng, k = jax.random.split(rng)
+      res = self._sampler(k)
+      states = jnp.concatenate(
+          [res.mid_x, res.samples[None]], axis=0)          # (S, B, L)
+      onehots = _mdlm.transform_samples(states)            # (S, B, L, 4)
+      targets = self.reward_fn(_mdlm.transform_samples(res.samples))
+
+      def loss_fn(sv):
+        losses = self._multisep_losses(self.msm, sv, onehots, targets)
+        return losses.mean(), losses
+
+      (loss, losses), grads = jax.value_and_grad(
+          loss_fn, has_aux=True)(stacked)
+      upd, opt_state = self.opt.update(grads, opt_state, stacked)
+      stacked = optax.apply_updates(stacked, upd)
+      return (it + 1, stacked, opt_state, rng), (loss, losses)
+
+    return step
+
+  def train(self, state, num_iters: int, log_every: int = 50):
+    for i in range(num_iters):
+      state, (loss, losses) = self._train_step(state, None)
+      if int(state[0]) % log_every == 0:
+        LOGGER.info('multisep step %d mean MSE %.5f (per-bin %s)',
+                    int(state[0]), float(loss),
+                    np.round(np.asarray(losses), 4).tolist())
+    return state
+
+
 def build_eval_timestep_batches(diffusion: Diffusion, reward_fn,
                                 batch_size: int, val_batch_num: int,
                                 key: jax.Array):

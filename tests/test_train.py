@@ -64,6 +64,24 @@ def test_cdq_training_runs(cfg):
   assert np.isfinite(float(loss))
 
 
+def test_multisep_training_converges(cfg):
+  from svdd_tpu.models.multisep import MultiSepValueModel
+  from svdd_tpu.models.convgru import ConvGRUValueModel
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  msm = MultiSepValueModel(ConvGRUValueModel(), n_models=2,
+                           num_steps=cfg.sampling.steps)
+  reward_fn = rewards.synthetic_motif_oracle(cfg.model.length)
+  tr = train_val.MultiSepTrainer(
+      model, msm, reward_fn,
+      train_val.ValueTrainerConfig(batch_size=4, learning_rate=1e-3))
+  st = tr.init_state(jax.random.key(1))
+  st, (loss0, _) = tr._train_step(st, None)
+  for _ in range(10):
+    st, (loss, per_bin) = tr._train_step(st, None)
+  assert float(loss) < float(loss0)
+  assert per_bin.shape == (2,)
+
+
 def test_checkpoint_roundtrip(cfg, tmp_path):
   model = Diffusion(cfg, rng=jax.random.key(0))
   trainer = train_diff.Trainer(model, cfg, ckpt_dir=str(tmp_path))
