@@ -112,3 +112,36 @@ def binary_discretization_st(z: jnp.ndarray) -> jnp.ndarray:
   z_hard = jnp.sign(z)
   z_soft = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
   return z_soft + jax.lax.stop_gradient(z_hard - z_soft)
+
+
+def topk_gamma_noise(key: jax.Array, shape, k: int,
+                     gamma_tau: float = 1.0,
+                     num_betas: int = 10) -> jnp.ndarray:
+  """Sum-of-scaled-Gammas perturbation for relaxed top-k sampling
+  (utils.py TopKSampler._sampling_noise:145-156)."""
+  import math as _math
+  g = jax.random.gamma(key, 1.0 / k, (num_betas,) + tuple(shape))
+  beta = k / jnp.arange(1, num_betas + 1, dtype=jnp.float32)
+  s = (g / beta[:, None, None]).sum(axis=0) - _math.log(10.0)
+  return gamma_tau * (s / k)
+
+
+def binary_sample_st(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
+  """Relaxed Bernoulli with straight-through hard sample
+  (utils.py BinarySampler:205-218)."""
+  k1, k2 = jax.random.split(key)
+  pos = jax.random.gumbel(k1, probs.shape)
+  neg = jax.random.gumbel(k2, probs.shape)
+  del_noise_exp = jnp.exp(neg - pos)
+  hard = (probs * (1 + del_noise_exp) > 1).astype(probs.dtype)
+  soft = probs / (probs + (1 - probs) * del_noise_exp)
+  return soft + jax.lax.stop_gradient(hard - soft)
+
+
+def gaussian_sample(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+  """Reparameterized gaussian from concatenated (mu, pre-softplus var)
+  (utils.py GaussianSampler:221-229)."""
+  n = x.shape[-1] // 2
+  mu = x[..., :n]
+  sigma = jnp.sqrt(jax.nn.softplus(x[..., n:]))
+  return mu + sigma * jax.random.normal(key, mu.shape)

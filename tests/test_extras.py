@@ -165,3 +165,28 @@ def test_quantile_report_and_kmer_pearson():
   assert rep['a']['q50'] == pytest.approx(49.5)
   r = kmer_pearson(['ACGTACGT'] * 4, ['ACGTACGT'] * 3)
   assert r == pytest.approx(1.0)
+
+
+def test_basenji_trunk():
+  from svdd_tpu.models.basenji import Basenji
+  m = Basenji(n_tasks=2, conv_blocks=2, channel_init=16,
+              residual_blocks=2, residual_channels=8)
+  v = m.init(jax.random.key(0), jnp.zeros((1, 32, 4)))
+  out = m.apply(v, jnp.zeros((2, 32, 4)))
+  assert out.shape == (2, 2)
+
+
+def test_straight_through_samplers():
+  from svdd_tpu import utils as U
+  key = jax.random.key(0)
+  probs = jnp.full((4, 8), 0.99)
+  b = U.binary_sample_st(key, probs)
+  assert float(b.mean()) > 0.7           # high probs -> mostly ones
+  g = U.gaussian_sample(key, jnp.zeros((3, 10)))
+  assert g.shape == (3, 5)
+  noise = U.topk_gamma_noise(key, (4, 8), k=3)
+  assert noise.shape == (4, 8) and np.isfinite(np.asarray(noise)).all()
+  gs = U.gumbel_softmax(key, jnp.zeros((2, 5)), hard=True)
+  np.testing.assert_allclose(np.asarray(gs.sum(-1)), 1.0, rtol=1e-5)
+  tk = U.topk_mask_st(jnp.arange(6.0)[None], k=2)
+  assert float(tk[0, -1]) == 1.0 and float(tk[0, 0]) < 1.0
