@@ -44,15 +44,21 @@ def _move_chances(schedule: Schedule, t: Array, t_next: Array):
   return sigma_t, sigma_s, 1 - jnp.exp(-sigma_t), 1 - jnp.exp(-sigma_s)
 
 
+import os
+
+_USE_PALLAS_SAMPLER = os.environ.get('SVDD_PALLAS_SAMPLER', '0') == '1'
+
+
 def _draw_candidates(key: jax.Array, log_q: Array, x: Array,
                      mask_index: int, repeats: int) -> Array:
   """One-shot (B, M, L) candidate draw: vectorized gumbel-max over an
   expanded candidate axis + carry-over of unmasked tokens
-  (replaces the sequential list-comp at diffusion_gosai.py:1203)."""
-  b, l, v = log_q.shape
-  gumbel = jax.random.gumbel(key, (b, repeats, l, v), dtype=jnp.float32)
-  draws = jnp.argmax(log_q[:, None] + gumbel, axis=-1)      # (B, M, L)
-  return jnp.where((x != mask_index)[:, None], x[:, None], draws)
+  (replaces the sequential list-comp at diffusion_gosai.py:1203).
+  SVDD_PALLAS_SAMPLER=1 routes through the fused in-register PRNG
+  kernel (ops/fused_sample.py)."""
+  from svdd_tpu.ops.fused_sample import gumbel_candidates
+  return gumbel_candidates(key, log_q, x, repeats, mask_index,
+                           use_pallas=_USE_PALLAS_SAMPLER)
 
 
 def _select_best(candidates: Array, scores: Array) -> Array:

@@ -63,3 +63,23 @@ def test_mha_causal_masks_future():
   # position 0 attends only to itself -> output == v[0]
   np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
                              np.asarray(v[0, 0, 0]), atol=1e-5)
+
+
+def test_fused_gumbel_candidates_xla_dispatcher():
+  """The dispatcher's XLA path (the default): distribution + copy-flag
+  semantics. The Pallas PRNG path needs real TPU hardware
+  (prng_seed has no CPU lowering) and is exercised by the TPU bench
+  with SVDD_PALLAS_SAMPLER=1."""
+  from svdd_tpu.ops import fused_sample as fs
+  log_q = jnp.log(jnp.broadcast_to(
+      jnp.array([0.1, 0.2, 0.3, 0.4, 1e-9]), (64, 4, 5)))
+  x = jnp.full((64, 4), 4, jnp.int32).at[:, 0].set(2)
+  out = np.asarray(fs.gumbel_candidates(
+      jax.random.key(0), log_q, x, repeats=8, mask_index=4))
+  assert out.shape == (64, 8, 4)
+  assert (out[:, :, 0] == 2).all()
+  draws = out[:, :, 1:].reshape(-1)
+  freqs = np.bincount(draws, minlength=5) / draws.size
+  np.testing.assert_allclose(freqs[:4], [0.1, 0.2, 0.3, 0.4],
+                             atol=0.035)
+  assert freqs[4] == 0.0
