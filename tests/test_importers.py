@@ -94,3 +94,30 @@ def test_cnn_parity_forward2_onehot():
       variables, jnp.zeros((B, L), jnp.int32), jnp.asarray(sigma),
       x_onehot=jnp.asarray(onehot)))
   np.testing.assert_allclose(j_out, t_out, atol=2e-4)
+
+
+def test_gru_parity_with_torch():
+  """GRUCellScan + importer vs torch.nn.GRU (bidirectional, summed
+  directions as GRUBlock does at Enformer.py:1620)."""
+  import jax
+  import jax.numpy as jnp
+  from svdd_tpu.models.convgru import GRUCellScan
+  from svdd_tpu.importers.convgru import import_gru_cell
+
+  torch.manual_seed(0)
+  H, IN, B, L = 6, 5, 2, 7
+  tgru = torch.nn.GRU(input_size=IN, hidden_size=H, batch_first=True,
+                      bidirectional=True)
+  x = torch.randn(B, L, IN)
+  with torch.no_grad():
+    t_out, _ = tgru(x)
+  t_sum = (t_out[:, :, :H] + t_out[:, :, H:]).numpy()
+
+  sd = {k: v.detach().numpy() for k, v in tgru.state_dict().items()}
+  fwd = GRUCellScan(hidden_size=H, reverse=False)
+  bwd = GRUCellScan(hidden_size=H, reverse=True)
+  xj = jnp.asarray(x.numpy())
+  out_f = fwd.apply({'params': import_gru_cell(sd)}, xj)
+  out_b = bwd.apply({'params': import_gru_cell(sd, reverse=True)}, xj)
+  j_sum = np.asarray(out_f + out_b)
+  np.testing.assert_allclose(j_sum, t_sum, atol=1e-5)
