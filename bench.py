@@ -100,19 +100,30 @@ def main() -> None:
     args.steps, args.length = 8, 24
     args.iters = 1
 
+  import sys
+
+  def phase(msg):
+    print(f'[bench +{time.perf_counter() - T0:8.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+  T0 = time.perf_counter()
   n_chips = jax.device_count()
+  phase(f'devices: {jax.devices()}')
   sampler = build_workload(args.batch_size, args.sample_M, args.steps,
                            args.length, args.small)
+  phase('workload built (models initialized)')
 
   key = jax.random.key(0)
   # warmup / compile
   sampler(key).samples.block_until_ready()
+  phase('compile + warmup decode done')
 
   t0 = time.perf_counter()
   for i in range(args.iters):
     out = sampler(jax.random.fold_in(key, i)).samples
   out.block_until_ready()
   dt = time.perf_counter() - t0
+  phase(f'{args.iters} timed decodes done ({dt:.2f}s)')
   seqs_per_sec_chip = args.batch_size * args.iters / dt / n_chips
 
   flops = estimate_flops(sampler, key)
