@@ -61,25 +61,25 @@ def build_workload(batch_size: int, sample_m: int, steps: int,
   else:
     value_module = EnformerValueModel(
         n_tasks=1, compute_dtype=jnp.bfloat16)
-  value_vars = value_module.init(jax.random.key(1),
-                                 jnp.zeros((1, length, 4)))
+  value_vars = jax.jit(value_module.init)(jax.random.key(1),
+                                          jnp.zeros((1, length, 4)))
 
-  def value_fn(tokens):
+  # (apply_fn, variables) pair: weights stay jit ARGUMENTS, never
+  # inlined as HLO constants (which made remote compiles take >20 min)
+  def value_apply(variables, tokens):
     onehot = mdlm.transform_samples(tokens)
-    return value_module.apply(value_vars, onehot)
+    return value_module.apply(variables, onehot)
 
-  sampler = model.controlled_sampler(value_fn, batch_size,
-                                     sample_M=sample_m)
+  sampler = model.controlled_sampler((value_apply, value_vars),
+                                     batch_size, sample_M=sample_m)
   return sampler
 
 
 def estimate_flops(sampler, key) -> float:
-  """Total FLOPs of one guided decode via XLA cost analysis."""
+  """Total FLOPs of one guided decode via XLA cost analysis (hits the
+  already-compiled executable's cache)."""
   try:
-    lowered = jax.jit(sampler).lower(key)
-    cost = lowered.compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):
-      cost = cost[0]
+    cost = sampler.cost_analysis(key)
     return float(cost.get('flops', 0.0))
   except Exception:
     return 0.0
@@ -113,15 +113,19 @@ def main() -> None:
                            args.length, args.small)
   phase('workload built (models initialized)')
 
+  import numpy as np
+
   key = jax.random.key(0)
-  # warmup / compile
-  sampler(key).samples.block_until_ready()
+  # warmup / compile. NB block_until_ready does NOT block on the axon
+  # backend (measured: 0.3ms "waits" on 600ms computations) — force
+  # completion by fetching the (tiny) token output.
+  np.asarray(sampler(key).samples)
   phase('compile + warmup decode done')
 
   t0 = time.perf_counter()
   for i in range(args.iters):
     out = sampler(jax.random.fold_in(key, i)).samples
-  out.block_until_ready()
+  np.asarray(out)
   dt = time.perf_counter() - t0
   phase(f'{args.iters} timed decodes done ({dt:.2f}s)')
   seqs_per_sec_chip = args.batch_size * args.iters / dt / n_chips

@@ -98,7 +98,7 @@ def load_reward_fn(args, cfg: Config):
     oracle.variables = load_pytree(args.reward_checkpoint_path,
                                    oracle.variables)
     LOGGER.info('loaded reward oracle %s', args.reward_checkpoint_path)
-    return oracle.as_fn()
+    return oracle.as_pair()
   LOGGER.warning('no --reward_checkpoint_path: using synthetic motif '
                  'oracle')
   return rewards.synthetic_motif_oracle(cfg.model.length)

@@ -27,7 +27,7 @@ def run(args) -> None:
   result = run_decode(
       diffusion, reward_fn,
       algo='svdd_mc',
-      value_fn=vf.as_token_fn(),
+      value_fn=vf.as_token_pair(),
       gen_batch_num=args.val_batch_num,
       batch_size=args.batch_size,
       sample_M=args.sample_M,

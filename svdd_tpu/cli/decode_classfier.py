@@ -26,7 +26,7 @@ def run(args) -> None:
   result = run_decode(
       diffusion, reward_fn,
       algo='classifier',
-      value_fn=vf.as_onehot_fn(),
+      value_fn=vf.as_onehot_pair(),
       gen_batch_num=args.val_batch_num,
       batch_size=args.batch_size,
       sample_M=args.sample_M,

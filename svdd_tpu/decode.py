@@ -45,8 +45,18 @@ class DecodeResult:
              baseline=self.baseline_preds)
 
 
+def _as_callable(fn_or_pair):
+  """Accept plain callables or hoisted (apply_fn, variables) pairs
+  (Diffusion._hoist convention)."""
+  if isinstance(fn_or_pair, tuple):
+    apply_fn, variables = fn_or_pair
+    return lambda *args: apply_fn(variables, *args)
+  return fn_or_pair
+
+
 def _score(reward_fn, samples) -> np.ndarray:
-  return np.asarray(reward_fn(mdlm.transform_samples(samples)))
+  return np.asarray(
+      _as_callable(reward_fn)(mdlm.transform_samples(samples)))
 
 
 def _baseline(diffusion: Diffusion, reward_fn, batch_size: int,
@@ -123,7 +133,7 @@ def run_decode(
     samples.append(np.asarray(res.samples))
     reward_preds.append(_score(reward_fn, res.samples))
     if value_fn is not None and algo in ('svdd_mc',):
-      value_preds.append(np.asarray(value_fn(res.samples)))
+      value_preds.append(np.asarray(_as_callable(value_fn)(res.samples)))
     else:
       value_preds.append(reward_preds[-1])
   LOGGER.info('Value-weighted sampling done.')

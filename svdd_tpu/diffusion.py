@@ -78,7 +78,10 @@ class Diffusion:
       if rng is None:
         rng = jax.random.key(config.seed)
       dummy = jnp.zeros((1, config.model.length), jnp.int32)
-      variables = self.backbone.init(rng, dummy, jnp.zeros((1,)))
+      # jit the init: eager per-op dispatch is ~100ms/op through the
+      # axon tunnel (a large model init took minutes eagerly)
+      variables = jax.jit(self.backbone.init)(rng, dummy,
+                                              jnp.zeros((1,)))
     self.variables = variables
 
   # -- denoiser forwards ----------------------------------------------------
@@ -179,6 +182,24 @@ class Diffusion:
                            attention_mask)
 
   # -- samplers -------------------------------------------------------------
+  #
+  # All sampler factories jit a function whose MODEL VARIABLES ARE
+  # ARGUMENTS, not closures: JAX inlines closed-over arrays as HLO
+  # constants, and baking the ~10^8-param value net into the program
+  # made remote TPU compiles take tens of minutes (measured). User
+  # value/reward functions are passed either as plain callables
+  # (captured arrays become constants — fine for tiny synthetic
+  # oracles) or as a ``(apply_fn, variables)`` pair whose variables are
+  # hoisted to jit arguments (what the CLIs and bench do).
+
+  @staticmethod
+  def _hoist(fn_or_pair):
+    if isinstance(fn_or_pair, tuple):
+      apply_fn, variables = fn_or_pair
+      return apply_fn, variables
+    if fn_or_pair is None:
+      return None, ()
+    return (lambda _vars, *args: fn_or_pair(*args)), ()
 
   def _base_kwargs(self, batch_size: int, num_steps: Optional[int],
                    eps: float):
@@ -194,43 +215,68 @@ class Diffusion:
         analytic_removal=cfg.sampling.predictor == 'analytic',
     )
 
-  def _make_sampler(self, step_fn, denoise, batch_size, num_steps, eps,
-                    collect_mid=False, collect_aux=False, aux_init=(),
-                    mesh=None):
+  def _jit_sampler(self, build_step, batch_size, num_steps, eps,
+                   variables=None, extra_vars=(), mesh=None,
+                   collect_mid=False, collect_aux=False):
+    """build_step(denoise, extra_vars) -> (step_fn, aux_init),
+    called inside the traced function so every captured array is a
+    traced jit argument."""
+    den_vars = self.variables if variables is None else variables
     shard = None
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
       sharding = NamedSharding(mesh, P('data', None))
       shard = lambda x: jax.lax.with_sharding_constraint(x, sharding)
-    fn = S.reverse_process(
-        step_fn, denoise, self.schedule,
-        collect_mid=collect_mid, collect_aux=collect_aux,
-        aux_init=aux_init, shard_constraint=shard,
-        **self._base_kwargs(batch_size, num_steps, eps))
-    return jax.jit(fn)
+    base = self._base_kwargs(batch_size, num_steps, eps)
+
+    def sample(den_vars, extra_vars, key):
+      denoise = lambda x, sigma: self.forward(den_vars, x, sigma)
+      step_fn, aux_init = build_step(denoise, den_vars, extra_vars)
+      fn = S.reverse_process(
+          step_fn, denoise, self.schedule,
+          collect_mid=collect_mid, collect_aux=collect_aux,
+          aux_init=aux_init, shard_constraint=shard, **base)
+      return fn(key)
+
+    jitted = jax.jit(sample)
+
+    class _Sampler:
+      """key -> SampleResult; exposes the underlying jitted fn for
+      cached cost analysis / AOT lowering."""
+
+      def __call__(self, key):
+        return jitted(den_vars, extra_vars, key)
+
+      def cost_analysis(self, key):
+        compiled = jitted.lower(den_vars, extra_vars, key).compile()
+        cost = compiled.cost_analysis()
+        return cost[0] if isinstance(cost, (list, tuple)) else cost
+
+    return _Sampler()
 
   def sampler(self, batch_size: int, *, num_steps: int | None = None,
               eps: float = 1e-5, collect_mid: bool = False,
               variables: Any | None = None, mesh: Any = None):
     """Uncontrolled sampler (_sample/decode_sample,
     diffusion_gosai.py:821-936). Returns jitted key -> SampleResult."""
-    denoise = self.denoise_fn(variables)
     pred = self.config.sampling.predictor
-    aux_init = ()
-    if pred == 'ddpm':
-      step = S.ddpm_step(denoise, self.schedule, self.mask_index)
-    elif pred == 'ddpm_cache':
-      step = S.ddpm_cache_step(denoise, self.schedule, self.mask_index)
-      aux_init = (jnp.zeros((batch_size, self.config.model.length,
-                             self.vocab_size)), jnp.asarray(False))
-    elif pred == 'analytic':
-      step = S.analytic_step(denoise, self.schedule, self.mask_index,
-                             self.vocab_size)
-    else:
+
+    def build(denoise, den_vars, extra):
+      if pred == 'ddpm':
+        return S.ddpm_step(denoise, self.schedule, self.mask_index), ()
+      if pred == 'ddpm_cache':
+        aux_init = (jnp.zeros((batch_size, self.config.model.length,
+                               self.vocab_size)), jnp.asarray(False))
+        return S.ddpm_cache_step(denoise, self.schedule,
+                                 self.mask_index), aux_init
+      if pred == 'analytic':
+        return S.analytic_step(denoise, self.schedule, self.mask_index,
+                               self.vocab_size), ()
       raise ValueError(pred)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              collect_mid=collect_mid, aux_init=aux_init,
-                              mesh=mesh)
+
+    return self._jit_sampler(build, batch_size, num_steps, eps,
+                             variables=variables, mesh=mesh,
+                             collect_mid=collect_mid)
 
   def cdq_sampler(self, batch_size: int, *, repeats: int = 10,
                   num_steps: int | None = None, eps: float = 1e-5,
@@ -239,24 +285,33 @@ class Diffusion:
     diffusion_gosai.py:839-853): returns SampleResult whose ``extra``
     stacks all per-step candidate rollouts (steps, B, M, L) and whose
     mid_x stacks trajectory states."""
-    denoise = self.denoise_fn(variables)
-    step = G.cdq_step(denoise, self.schedule, self.mask_index, repeats)
-    aux_init = jnp.zeros(
-        (batch_size, repeats, self.config.model.length), jnp.int32)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              collect_mid=True, collect_aux=True,
-                              aux_init=aux_init)
+
+    def build(denoise, den_vars, extra):
+      aux_init = jnp.zeros(
+          (batch_size, repeats, self.config.model.length), jnp.int32)
+      return G.cdq_step(denoise, self.schedule, self.mask_index,
+                        repeats), aux_init
+
+    return self._jit_sampler(build, batch_size, num_steps, eps,
+                             variables=variables, collect_mid=True,
+                             collect_aux=True)
 
   def controlled_sampler(self, value_fn, batch_size: int, *,
                          sample_M: int = 10, num_steps: int | None = None,
                          eps: float = 1e-5, variables: Any | None = None,
                          mesh: Any = None):
-    """SVDD-MC (controlled_sample, diffusion_gosai.py:1022-1062)."""
-    denoise = self.denoise_fn(variables)
-    step = G.svdd_mc_step(denoise, value_fn, self.schedule,
-                          self.mask_index, repeats=sample_M)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              mesh=mesh)
+    """SVDD-MC (controlled_sample, diffusion_gosai.py:1022-1062).
+    ``value_fn``: tokens->(N,) callable, or (apply_fn, variables)."""
+    apply_fn, val_vars = self._hoist(value_fn)
+
+    def build(denoise, den_vars, val_vars):
+      vfn = lambda tokens: apply_fn(val_vars, tokens)
+      return G.svdd_mc_step(denoise, vfn, self.schedule,
+                            self.mask_index, repeats=sample_M), ()
+
+    return self._jit_sampler(build, batch_size, num_steps, eps,
+                             variables=variables, extra_vars=val_vars,
+                             mesh=mesh)
 
   def controlled_sampler_timed(self, value_fn_timed, batch_size: int, *,
                                sample_M: int = 10,
@@ -265,47 +320,68 @@ class Diffusion:
                                variables: Any | None = None,
                                mesh: Any = None):
     """SVDD-MC with step-indexed value fn (timed / multisep models)."""
-    denoise = self.denoise_fn(variables)
     steps = num_steps or self.config.sampling.steps
-    step = G.svdd_mc_step_timed(denoise, value_fn_timed, self.schedule,
-                                self.mask_index, steps, eps,
-                                repeats=sample_M)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              mesh=mesh)
+    apply_fn, val_vars = self._hoist(value_fn_timed)
+
+    def build(denoise, den_vars, val_vars):
+      vfn = lambda tokens, step_idx: apply_fn(val_vars, tokens, step_idx)
+      return G.svdd_mc_step_timed(denoise, vfn, self.schedule,
+                                  self.mask_index, steps, eps,
+                                  repeats=sample_M), ()
+
+    return self._jit_sampler(build, batch_size, num_steps, eps,
+                             variables=variables, extra_vars=val_vars,
+                             mesh=mesh)
 
   def tweedie_sampler(self, reward_fn, batch_size: int, *,
                       sample_M: int = 10, tweedie: bool = True,
                       num_steps: int | None = None, eps: float = 1e-5,
                       variables: Any | None = None, mesh: Any = None):
     """SVDD-PM (controlled_sample_tweedie, diffusion_gosai.py:1106-1145)."""
-    denoise = self.denoise_fn(variables)
-    step = G.svdd_pm_step(denoise, reward_fn, self.schedule,
-                          self.mask_index, repeats=sample_M,
-                          tweedie=tweedie)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              mesh=mesh)
+    apply_fn, rew_vars = self._hoist(reward_fn)
+
+    def build(denoise, den_vars, rew_vars):
+      rfn = lambda onehot: apply_fn(rew_vars, onehot)
+      return G.svdd_pm_step(denoise, rfn, self.schedule,
+                            self.mask_index, repeats=sample_M,
+                            tweedie=tweedie), ()
+
+    return self._jit_sampler(build, batch_size, num_steps, eps,
+                             variables=variables, extra_vars=rew_vars,
+                             mesh=mesh)
 
   def tds_sampler(self, reward_fn, batch_size: int, *, alpha: float = 1.0,
                   num_steps: int | None = None, eps: float = 1e-5,
                   variables: Any | None = None, mesh: Any = None):
     """TDS SMC baseline (controlled_sample_TDS, diffusion_gosai.py:938-978)."""
-    denoise = self.denoise_fn(variables)
-    step = G.tds_step(denoise, reward_fn, self.schedule, self.mask_index,
-                      alpha=alpha)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              mesh=mesh)
+    apply_fn, rew_vars = self._hoist(reward_fn)
+
+    def build(denoise, den_vars, rew_vars):
+      rfn = lambda onehot: apply_fn(rew_vars, onehot)
+      return G.tds_step(denoise, rfn, self.schedule, self.mask_index,
+                        alpha=alpha), ()
+
+    return self._jit_sampler(build, batch_size, num_steps, eps,
+                             variables=variables, extra_vars=rew_vars,
+                             mesh=mesh)
 
   def dps_sampler(self, reward_fn, batch_size: int, *,
                   guidance_scale: float = 1.0,
                   num_steps: int | None = None, eps: float = 1e-5,
                   variables: Any | None = None, mesh: Any = None):
     """DPS baseline (controlled_sample_DPS, diffusion_gosai.py:980-1020)."""
-    denoise = self.denoise_fn(variables)
-    step = G.dps_step(self.denoise_onehot_fn(variables), reward_fn,
-                      self.schedule, self.mask_index,
-                      guidance_scale=guidance_scale)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              mesh=mesh)
+    apply_fn, rew_vars = self._hoist(reward_fn)
+
+    def build(denoise, den_vars, rew_vars):
+      rfn = lambda onehot: apply_fn(rew_vars, onehot)
+      donehot = lambda oh, x, sigma: self.forward_onehot(den_vars, oh,
+                                                         x, sigma)
+      return G.dps_step(donehot, rfn, self.schedule, self.mask_index,
+                        guidance_scale=guidance_scale), ()
+
+    return self._jit_sampler(build, batch_size, num_steps, eps,
+                             variables=variables, extra_vars=rew_vars,
+                             mesh=mesh)
 
   def classifier_sampler(self, value_fn_onehot, batch_size: int, *,
                          guidance_scale: float = 1.0,
@@ -313,9 +389,14 @@ class Diffusion:
                          variables: Any | None = None, mesh: Any = None):
     """Classifier guidance (controlled_sample_classfier,
     diffusion_gosai.py:1064-1104)."""
-    denoise = self.denoise_fn(variables)
-    step = G.classifier_step(denoise, value_fn_onehot, self.schedule,
-                             self.mask_index,
-                             guidance_scale=guidance_scale)
-    return self._make_sampler(step, denoise, batch_size, num_steps, eps,
-                              mesh=mesh)
+    apply_fn, val_vars = self._hoist(value_fn_onehot)
+
+    def build(denoise, den_vars, val_vars):
+      vfn = lambda onehot: apply_fn(val_vars, onehot)
+      return G.classifier_step(denoise, vfn, self.schedule,
+                               self.mask_index,
+                               guidance_scale=guidance_scale), ()
+
+    return self._jit_sampler(build, batch_size, num_steps, eps,
+                             variables=variables, extra_vars=val_vars,
+                             mesh=mesh)

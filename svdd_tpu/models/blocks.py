@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from svdd_tpu.ops.conv1d import Conv1D
+
 Array = jnp.ndarray
 
 
@@ -139,8 +141,7 @@ class ChannelTransform(nn.Module):
   def __call__(self, x: Array) -> Array:
     if self.in_channels == self.out_channels and not self.if_equal:
       return x
-    return nn.Conv(self.out_channels, (1,), padding='SAME',
-                   dtype=x.dtype)(x)
+    return Conv1D(self.out_channels, 1, dtype=x.dtype)(x)
 
 
 class ConvBlock(nn.Module):
@@ -167,9 +168,8 @@ class ConvBlock(nn.Module):
     if self.residual:
       x_input = ChannelTransform(self.in_channels, self.out_channels)(x)
     norm = Norm('batch' if self.norm else None)
-    conv = nn.Conv(self.out_channels, (self.kernel_size,),
-                   kernel_dilation=(self.dilation,), padding='SAME',
-                   dtype=x.dtype)
+    conv = Conv1D(self.out_channels, self.kernel_size,
+                  dilation=self.dilation, dtype=x.dtype)
     drop = nn.Dropout(self.dropout, deterministic=not train)
     for name in self.order:
       if name == 'C':
@@ -262,8 +262,7 @@ class Stem(nn.Module):
 
   @nn.compact
   def __call__(self, x: Array, train: bool = False) -> Array:
-    x = nn.Conv(self.out_channels, (self.kernel_size,), padding='SAME',
-                dtype=x.dtype)(x)
+    x = Conv1D(self.out_channels, self.kernel_size, dtype=x.dtype)(x)
     x = activation(self.act_func, x)
     return Pool(self.pool_func, self.pool_size,
                 in_channels=self.out_channels)(x)

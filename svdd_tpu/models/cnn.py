@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from svdd_tpu.config import Config
+from svdd_tpu.ops.conv1d import Conv1D
 
 Array = jnp.ndarray
 
@@ -84,8 +85,7 @@ class CNNModel(nn.Module):
             t_feats.astype(dtype)))
 
     feat = jax.nn.relu(
-        nn.Conv(hidden, (9,), padding='SAME', dtype=dtype,
-                name='stem')(feat))
+        Conv1D(hidden, 9, dtype=dtype, name='stem')(feat))
 
     # classifier-free guidance conditioning (dnaconv.py:174-177,
     # 198-199): class embedding added per layer like the time emb
@@ -110,14 +110,14 @@ class CNNModel(nn.Module):
             cls_emb)[:, None, :]
       h = nn.LayerNorm(dtype=dtype, name=f'norm_{i}')(h)
       h = jax.nn.relu(
-          nn.Conv(hidden, (9,), kernel_dilation=(dilation,),
-                  padding='SAME', dtype=dtype, name=f'conv_{i}')(h))
+          Conv1D(hidden, 9, dilation=dilation, dtype=dtype,
+                 name=f'conv_{i}')(h))
       feat = h + feat
 
-    feat = nn.Conv(hidden, (1,), dtype=dtype, name='final_0')(feat)
+    feat = Conv1D(hidden, 1, dtype=dtype, name='final_0')(feat)
     feat = jax.nn.relu(feat)
     out_dim = hidden if self.classifier else self.alphabet_size
-    feat = nn.Conv(out_dim, (1,), dtype=dtype, name='final_1')(feat)
+    feat = Conv1D(out_dim, 1, dtype=dtype, name='final_1')(feat)
 
     if self.classifier:
       feat = feat.mean(axis=1)

@@ -67,14 +67,16 @@ def selective_scan(u: Array, dt: Array, A: Array, B: Array, C: Array,
 
 def causal_depthwise_conv(x: Array, kernel: Array, bias: Array) -> Array:
   """Depthwise causal conv over (b, l, d); kernel (k, d).
-  Replaces causal-conv1d CUDA (dimamba.py:202-211)."""
+  Replaces causal-conv1d CUDA (dimamba.py:202-211). Expressed as k
+  shifted elementwise multiply-adds (VPU ops) — the XLA TPU conv
+  emitter is pathologically slow to compile for these shapes."""
   k = kernel.shape[0]
-  x_pad = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
-  out = jax.lax.conv_general_dilated(
-      x_pad, kernel[:, None, :],
-      window_strides=(1,), padding='VALID',
-      dimension_numbers=('NHC', 'HIO', 'NHC'),
-      feature_group_count=x.shape[-1])
+  l = x.shape[1]
+  xp = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
+  out = None
+  for i in range(k):
+    tap = xp[:, i:i + l, :] * kernel[i]
+    out = tap if out is None else out + tap
   return out + bias[None, None]
 
 

@@ -203,8 +203,8 @@ class EnformerConvTower(nn.Module):
   @nn.compact
   def __call__(self, x: Array, train: bool = False) -> Array:
     half = self.out_channels // 2
-    x = nn.Conv(half, (15,), padding='SAME', dtype=x.dtype,
-                name='stem_conv')(x)
+    from svdd_tpu.ops.conv1d import Conv1D
+    x = Conv1D(half, 15, dtype=x.dtype, name='stem_conv')(x)
     x = blocks.ConvBlock(
         in_channels=half, out_channels=half, kernel_size=1,
         act_func='gelu_enformer', residual=True, order='NACDR',

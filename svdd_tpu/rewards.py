@@ -44,13 +44,13 @@ class RewardOracle:
   def create_dna(cls, length: int, rng: jax.Array, n_tasks: int = 3,
                  **kwargs) -> 'RewardOracle':
     module = EnformerValueModel(n_tasks=n_tasks, **kwargs)
-    variables = module.init(rng, jnp.zeros((1, length, 4)))
+    variables = jax.jit(module.init)(rng, jnp.zeros((1, length, 4)))
     return cls(module, variables, task_index=0)
 
   @classmethod
   def create_rna(cls, length: int, rng: jax.Array) -> 'RewardOracle':
     module = ConvGRUValueModel(n_tasks=1)
-    variables = module.init(rng, jnp.zeros((1, length, 4)))
+    variables = jax.jit(module.init)(rng, jnp.zeros((1, length, 4)))
     return cls(module, variables, task_index=0)
 
   def __call__(self, onehot4: Array) -> Array:
@@ -61,6 +61,14 @@ class RewardOracle:
 
   def as_fn(self) -> RewardFn:
     return lambda onehot: self(onehot)
+
+  def as_pair(self):
+    """(apply_fn, variables) form — variables hoisted to jit args."""
+    module, idx = self.module, self.task_index
+    def apply_fn(variables, onehot):
+      out = module.apply(variables, onehot)
+      return out[:, idx] if out.ndim == 2 else out
+    return apply_fn, self.variables
 
 
 def synthetic_motif_oracle(length: int, motif: str = 'GCGC',

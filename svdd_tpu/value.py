@@ -64,10 +64,10 @@ class ValueFunction:
     module = build_value_module(task, model, timed, n_tasks, **kwargs)
     dummy = jnp.zeros((1, length, 4), jnp.float32)
     if timed:
-      variables = module.init(rng, dummy,
-                              jnp.zeros((1, length), jnp.int32))
+      variables = jax.jit(module.init)(
+          rng, dummy, jnp.zeros((1, length), jnp.int32))
     else:
-      variables = module.init(rng, dummy)
+      variables = jax.jit(module.init)(rng, dummy)
     return cls(module, variables, length, timed)
 
   # -- pure scoring fns -----------------------------------------------------
@@ -91,6 +91,22 @@ class ValueFunction:
 
   def as_onehot_fn(self, variables: Any = None) -> Callable[[Array], Array]:
     return lambda onehot: self.score_onehot(onehot, variables)
+
+  # hoisted (apply_fn, variables) pairs: the samplers jit these with
+  # the variables as ARGUMENTS so the net's weights never get inlined
+  # as HLO constants (see Diffusion._hoist)
+
+  def as_token_pair(self):
+    module = self.module
+    def apply_fn(variables, tokens):
+      return module.apply(variables, mdlm.transform_samples(tokens))
+    return apply_fn, self.variables
+
+  def as_onehot_pair(self):
+    module = self.module
+    def apply_fn(variables, onehot):
+      return module.apply(variables, onehot)
+    return apply_fn, self.variables
 
 
 # ---------------------------------------------------------------------------
