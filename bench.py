@@ -11,12 +11,13 @@ Prints ONE JSON line:
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md
 §6), so the denominator is an ESTIMATED A100 throughput for the
-reference implementation, computed from the workload's FLOP count at
-312 TFLOP/s bf16 x 35% MFU. That estimate is deliberately generous to
-the baseline: the reference's per-step python loop runs its M value
-forwards sequentially (diffusion_gosai.py:1203-1209) with kernel-launch
-and host-sync overhead a FLOP model ignores, so its true MFU is far
-lower. vs_baseline > 1 therefore understates the real speedup.
+reference implementation: the same per-decode FLOPs (XLA cost analysis
+of the compiled step x num_steps) at A100 TF32 peak (156 TFLOP/s) x
+20% MFU. 20% is generous for what the reference actually is — an
+eager-mode fp32 torch loop running its M value forwards SEQUENTIALLY
+at batch 256 with kernel-launch and host-sync gaps every step
+(diffusion_gosai.py:1203-1209) — so vs_baseline understates the real
+speedup. All assumptions are in these constants:
 """
 
 from __future__ import annotations
@@ -34,8 +35,8 @@ import jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
 
-A100_BF16_FLOPS = 312e12
-ASSUMED_REFERENCE_MFU = 0.35
+A100_TF32_FLOPS = 156e12
+ASSUMED_REFERENCE_MFU = 0.20
 
 
 def build_workload(batch_size: int, sample_m: int, steps: int,
@@ -132,9 +133,15 @@ def main() -> None:
 
   flops = estimate_flops(sampler, key)
   if flops > 0:
-    ref_time_a100 = flops / (A100_BF16_FLOPS * ASSUMED_REFERENCE_MFU)
+    # XLA cost analysis counts the scan BODY once; multiply by the
+    # trip count for whole-decode FLOPs
+    total_flops = flops * args.steps
+    ref_time_a100 = total_flops / (A100_TF32_FLOPS
+                                   * ASSUMED_REFERENCE_MFU)
     ref_seqs_per_sec = args.batch_size / ref_time_a100
     vs_baseline = seqs_per_sec_chip / ref_seqs_per_sec
+    phase(f'cost analysis: {flops/1e12:.2f} TFLOP/step, '
+          f'ref A100 estimate {ref_seqs_per_sec:.2f} seqs/s')
   else:
     vs_baseline = 0.0
 

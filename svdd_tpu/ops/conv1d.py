@@ -29,13 +29,15 @@ def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
   half = (k_taps - 1) // 2 * dilation
   # one zero-padded buffer; every tap is a static slice of it
   xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)))
+  # f32 MXU accumulation per tap (bf16 preferred_element_type crashed
+  # the TPU worker via the remote backend), downcast fused into the
+  # tap epilogue so inter-tap sums stay in the input dtype
   out = None
   for k in range(k_taps):
     start = k * dilation
     tap = jnp.dot(xp[:, start:start + l, :], kernel[k],
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32).astype(x.dtype)
     out = tap if out is None else out + tap
-  out = out.astype(x.dtype)
   if bias is not None:
     out = out + bias
   return out

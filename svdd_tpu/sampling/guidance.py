@@ -46,19 +46,29 @@ def _move_chances(schedule: Schedule, t: Array, t_next: Array):
 
 import os
 
-_USE_PALLAS_SAMPLER = os.environ.get('SVDD_PALLAS_SAMPLER', '0') == '1'
+
+def _use_pallas_sampler() -> bool:
+  """Fused in-register PRNG draw kernel: default ON for TPU (validated
+  on-device: exact categorical frequencies, 1.7x the XLA path), off on
+  CPU (prng_seed has no CPU lowering). SVDD_PALLAS_SAMPLER=0/1
+  overrides."""
+  env = os.environ.get('SVDD_PALLAS_SAMPLER')
+  if env is not None:
+    return env == '1'
+  try:
+    return jax.devices()[0].platform in ('tpu', 'axon')
+  except Exception:
+    return False
 
 
 def _draw_candidates(key: jax.Array, log_q: Array, x: Array,
                      mask_index: int, repeats: int) -> Array:
   """One-shot (B, M, L) candidate draw: vectorized gumbel-max over an
   expanded candidate axis + carry-over of unmasked tokens
-  (replaces the sequential list-comp at diffusion_gosai.py:1203).
-  SVDD_PALLAS_SAMPLER=1 routes through the fused in-register PRNG
-  kernel (ops/fused_sample.py)."""
+  (replaces the sequential list-comp at diffusion_gosai.py:1203)."""
   from svdd_tpu.ops.fused_sample import gumbel_candidates
   return gumbel_candidates(key, log_q, x, repeats, mask_index,
-                           use_pallas=_USE_PALLAS_SAMPLER)
+                           use_pallas=_use_pallas_sampler())
 
 
 def _select_best(candidates: Array, scores: Array) -> Array:
