@@ -40,10 +40,12 @@ def build_backbone(config: Config):
   dtype = (jnp.bfloat16 if config.parallel.precision == 'bf16'
            else jnp.float32)
   if config.backbone == 'cnn':
+    # fp32 like the reference's autocast pin (diffusion_gosai.py:345).
+    # (A bf16 CNN variant consistently crashed the axon TPU worker —
+    # 'TPU backend error (Internal)' — and the CNN is <10% of guided
+    # step time, so fp32 stays.)
     return CNNModel(config=config, alphabet_size=config.vocab_size,
                     num_cls=3, compute_dtype=jnp.float32)
-    # NB reference runs the CNN under autocast(float32)
-    # (diffusion_gosai.py:345); DiT runs bf16.
   if config.backbone == 'dit':
     from svdd_tpu.models.dit import DIT
     return DIT(config=config, vocab_size=config.vocab_size,
