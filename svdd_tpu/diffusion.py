@@ -337,16 +337,20 @@ class Diffusion:
 
   def tweedie_sampler(self, reward_fn, batch_size: int, *,
                       sample_M: int = 10, tweedie: bool = True,
+                      task: str = 'dna', saluki_body=None,
                       num_steps: int | None = None, eps: float = 1e-5,
                       variables: Any | None = None, mesh: Any = None):
-    """SVDD-PM (controlled_sample_tweedie, diffusion_gosai.py:1106-1145)."""
+    """SVDD-PM (controlled_sample_tweedie, diffusion_gosai.py:1106-1145).
+    ``task='rna_saluki'`` routes scoring through the saluki input
+    builder (:1426-1428)."""
     apply_fn, rew_vars = self._hoist(reward_fn)
 
     def build(denoise, den_vars, rew_vars):
       rfn = lambda onehot: apply_fn(rew_vars, onehot)
       return G.svdd_pm_step(denoise, rfn, self.schedule,
                             self.mask_index, repeats=sample_M,
-                            tweedie=tweedie), ()
+                            tweedie=tweedie, task=task,
+                            saluki_body=saluki_body), ()
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=rew_vars,

@@ -172,15 +172,19 @@ class ConvGRUTrunk(nn.Module):
 
 class ConvGRUValueModel(nn.Module):
   """Trunk + ConvHead scalar value model for RNA (Enformer.py:33-50).
-  Input one-hot (B, L, 4) -> (B,) value."""
+  Input one-hot (B, L, 4) -> (B,) value. ``in_channels=6`` builds the
+  saluki stability-oracle variant (Enformer.py:110-127, whose
+  ConvGRUTrunk keeps the 6-channel default stem)."""
   n_tasks: int = 1
   dropout: float = 0.1
+  in_channels: int = 4
   compute_dtype: jnp.dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array, train: bool = False) -> Array:
     x = x.astype(self.compute_dtype)
-    x = ConvGRUTrunk(dropout=self.dropout)(x, train=train)
+    x = ConvGRUTrunk(stem_in_channels=self.in_channels,
+                     dropout=self.dropout)(x, train=train)
     x = blocks.ConvHead(n_tasks=self.n_tasks, in_channels=64,
                         act_func=None, pool_func='avg', norm=False)(
                             x, train=train)

@@ -53,6 +53,17 @@ class RewardOracle:
     variables = jax.jit(module.init)(rng, jnp.zeros((1, length, 4)))
     return cls(module, variables, task_index=0)
 
+  @classmethod
+  def create_saluki(cls, rng: jax.Array,
+                    final_length: int = 12288) -> 'RewardOracle':
+    """Saluki RNA-stability oracle: 6-channel ConvGRU over the padded
+    12288-length input (Enformer.py:110-133; fed through
+    mdlm.transform_samples_saluki)."""
+    module = ConvGRUValueModel(n_tasks=1, in_channels=6)
+    variables = jax.jit(module.init)(
+        rng, jnp.zeros((1, final_length, 6)))
+    return cls(module, variables, task_index=0)
+
   def __call__(self, onehot4: Array) -> Array:
     out = self.module.apply(self.variables, onehot4)
     if out.ndim == 2:

@@ -140,11 +140,15 @@ def _tweedie_posterior_onehot(denoise_fn: DenoiseFn, samples: Array,
 
 def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
                  schedule: Schedule, mask_index: int,
-                 repeats: int = 10, tweedie: bool = True) -> StepFn:
+                 repeats: int = 10, tweedie: bool = True,
+                 task: str = 'dna',
+                 saluki_body=None) -> StepFn:
   """SVDD-PM: M candidates -> posterior-mean (Tweedie) reward -> select
   (_ddpm_update_finetune_controlled_twedie, diffusion_gosai.py:1374-1460).
 
   ``tweedie=False`` selects the mask-to-zero heuristic (:1420-1424).
+  ``task='rna_saluki'`` scores through the 12288-length 6-channel
+  saluki input builder instead (:1426-1428).
   Per step: 1 denoiser fwd on (B,) + 1 denoiser fwd + 1 reward fwd on
   (B*M,) — vs the reference's (1 + 2M) sequential forwards.
   """
@@ -162,6 +166,12 @@ def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
           mask_index)
     else:
       onehot = mdlm.transform_samples(flat)                # mask rows -> 0
+    if task == 'rna_saluki':
+      # rebuild tokens from the (possibly Tweedie-merged) one-hot and
+      # feed the saluki 6-channel padded input (diffusion_gosai:1427)
+      toks = jnp.where(onehot.sum(-1) > 0, jnp.argmax(onehot, -1),
+                       mask_index)
+      onehot = mdlm.transform_samples_saluki(toks, saluki_body)
     scores = reward_fn(onehot).reshape(b, repeats)
     return aux, _select_best(candidates, scores)
 

@@ -117,3 +117,31 @@ def test_saluki_transform_shape():
                                        final_length=32)
   np.testing.assert_array_equal(np.asarray(out2[0, 4:9]),
                                 np.ones((5, 6)))
+
+
+def test_saluki_tweedie_decode():
+  """rna_saluki SVDD-PM: reward scored through the 12288-length
+  6-channel saluki input (tiny final_length here)."""
+  import jax.numpy as jnp
+  from svdd_tpu import mdlm
+  cfg = tiny_test_config('rna')
+  cfg.task = 'rna_saluki'
+  model = Diffusion(cfg, rng=jax.random.key(0))
+
+  def saluki_reward(onehot6):
+    assert onehot6.shape[-1] == 6
+    return onehot6[..., 2].sum(axis=-1)   # count of G channel
+
+  import svdd_tpu.mdlm as m
+  orig = m.transform_samples_saluki
+  # shrink final_length for the test
+  m.transform_samples_saluki = (
+      lambda s, body=None, num_classes=4, final_length=32:
+      orig(s, body, num_classes, 32))
+  try:
+    sampler = model.tweedie_sampler(saluki_reward, 4, sample_M=2,
+                                    task='rna_saluki')
+    x = np.asarray(sampler(jax.random.key(1)).samples)
+  finally:
+    m.transform_samples_saluki = orig
+  assert (x >= 0).all() and (x < 4).all()
