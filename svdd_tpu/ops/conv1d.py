@@ -23,21 +23,41 @@ Array = jnp.ndarray
 
 def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
                    dilation: int = 1) -> Array:
-  """SAME-padded conv1d; x (B, L, Cin), kernel (K, Cin, Cout)."""
+  """SAME-padded conv1d; x (B, L, Cin), kernel (K, Cin, Cout).
+
+  Each tap k contributes y[i] += x[i + off_k] @ W[k] with
+  off_k = k*dilation - (K-1)//2*dilation. Taps whose |offset| >= L read
+  only zero padding and are SKIPPED (at the reference's extreme
+  dilation-64 / L=50 shapes this both saves dead matmuls and avoids a
+  pad-geometry LLO compiler crash on the TPU backend); live taps slice
+  the unpadded input and zero-pad their own output edge, so no pad
+  ever exceeds the sequence length.
+
+  f32 MXU accumulation per tap (bf16 preferred_element_type crashed
+  the TPU worker), downcast fused into the tap epilogue so inter-tap
+  sums stay in the input dtype.
+  """
   k_taps, _, c_out = kernel.shape
   b, l, _ = x.shape
   half = (k_taps - 1) // 2 * dilation
-  # one zero-padded buffer; every tap is a static slice of it
-  xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)))
-  # f32 MXU accumulation per tap (bf16 preferred_element_type crashed
-  # the TPU worker via the remote backend), downcast fused into the
-  # tap epilogue so inter-tap sums stay in the input dtype
   out = None
   for k in range(k_taps):
-    start = k * dilation
-    tap = jnp.dot(xp[:, start:start + l, :], kernel[k],
+    off = k * dilation - half
+    if off <= -l or off >= l:
+      continue   # tap entirely in zero padding
+    if off >= 0:
+      seg = x[:, off:, :]
+      pad = ((0, 0), (0, off), (0, 0))
+    else:
+      seg = x[:, :l + off, :]
+      pad = ((0, 0), (-off, 0), (0, 0))
+    tap = jnp.dot(seg, kernel[k],
                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if off:
+      tap = jnp.pad(tap, pad)
     out = tap if out is None else out + tap
+  if out is None:
+    out = jnp.zeros(x.shape[:-1] + (c_out,), x.dtype)
   if bias is not None:
     out = out + bias
   return out
