@@ -20,7 +20,6 @@ guidance plugs in as step transforms (sampling/guidance.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

@@ -24,6 +24,7 @@ API conventions:
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -42,9 +43,6 @@ def _move_chances(schedule: Schedule, t: Array, t_next: Array):
   sigma_t, _ = schedule(t)
   sigma_s, _ = schedule(t_next)
   return sigma_t, sigma_s, 1 - jnp.exp(-sigma_t), 1 - jnp.exp(-sigma_s)
-
-
-import os
 
 
 def _use_pallas_sampler() -> bool:

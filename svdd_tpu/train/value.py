@@ -64,6 +64,8 @@ class ValueTrainer:
   def __init__(self, diffusion: Diffusion, vf: value_lib.ValueFunction,
                reward_fn, tcfg: ValueTrainerConfig,
                sample_M: int = 10):
+    # sample_M kept for CLI-surface parity (the reference's train.py
+    # accepts it; MC/CDQ training itself doesn't branch on it)
     self.diffusion = diffusion
     self.vf = vf
     self.reward_fn = reward_fn
