@@ -90,13 +90,25 @@ def _ppl_eval(cfg: Config, args) -> None:
 
 
 def _sample_eval(cfg: Config, args) -> None:
-  """(main_gosai.py:98-128): generate + detokenize samples."""
+  """(main_gosai.py:98-128): generate + detokenize samples; with
+  sampling.semi_ar, block-wise strided generation
+  (restore_model_and_semi_ar_sample, diffusion_gosai.py:1864-1895)."""
   model = Diffusion(cfg, rng=jax.random.key(cfg.seed))
   if args.ckpt_dir:
     state = train_diff.restore_checkpoint(
         args.ckpt_dir, train_diff.init_state(model, cfg,
                                              jax.random.key(0)))
     model.variables = {'params': state.ema.shadow, **state.extras}
+  if cfg.sampling.semi_ar:
+    from svdd_tpu.sampling.semi_ar import semi_ar_sample
+    steps, _, full = semi_ar_sample(
+        model, cfg.loader.eval_batch_size, cfg.sampling.stride_length,
+        cfg.sampling.num_strides, jax.random.key(0))
+    LOGGER.info('semi-AR: %d denoiser calls, samples %s', steps,
+                full.shape)
+    for s in gosai.batch_dna_detokenize(full[:4]):
+      LOGGER.info('sample: %s', s)
+    return
   sampler = model.sampler(cfg.loader.eval_batch_size)
   for i in range(cfg.sampling.num_sample_batches):
     res = sampler(jax.random.key(i))

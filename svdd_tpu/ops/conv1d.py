@@ -37,27 +37,47 @@ def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
   the TPU worker), downcast fused into the tap epilogue so inter-tap
   sums stay in the input dtype.
   """
-  k_taps, _, c_out = kernel.shape
+  k_taps, c_in, c_out = kernel.shape
   b, l, _ = x.shape
   half = (k_taps - 1) // 2 * dilation
-  out = None
-  for k in range(k_taps):
-    off = k * dilation - half
-    if off <= -l or off >= l:
-      continue   # tap entirely in zero padding
+
+  def shifted(arr, off, fill_shape):
     if off >= 0:
-      seg = x[:, off:, :]
+      seg = arr[:, off:, :]
       pad = ((0, 0), (0, off), (0, 0))
     else:
-      seg = x[:, :l + off, :]
+      seg = arr[:, :l + off, :]
       pad = ((0, 0), (-off, 0), (0, 0))
-    tap = jnp.dot(seg, kernel[k],
-                  preferred_element_type=jnp.float32).astype(x.dtype)
-    if off:
-      tap = jnp.pad(tap, pad)
-    out = tap if out is None else out + tap
-  if out is None:
+    return jnp.pad(seg, pad) if off else arr
+
+  live = [k for k in range(k_taps)
+          if -l < k * dilation - half < l]
+  if not live:
     out = jnp.zeros(x.shape[:-1] + (c_out,), x.dtype)
+    return out + bias if bias is not None else out
+
+  # Two MXU formulations (profiled on v5e):
+  #  * im2col-concat: stack the K_live shifts along channels and do ONE
+  #    (B*L, K*Cin) x (K*Cin, Cout) matmul. HBM traffic = K*in + out.
+  #  * tap-accumulate: K matmuls summed. Traffic = K*(in + out).
+  # im2col always moves less data; it loses only when the concat buffer
+  # is huge AND the op is already compute-bound. The stem convs
+  # (Cin=4, K=15) were 14% of the guided step as taps — pure write
+  # amplification. Cap the concat buffer at ~2 GB.
+  concat_bytes = b * l * len(live) * c_in * x.dtype.itemsize
+  if concat_bytes <= 2 * 2 ** 30:
+    cols = jnp.concatenate(
+        [shifted(x, k * dilation - half, None) for k in live], axis=-1)
+    w = jnp.concatenate([kernel[k] for k in live], axis=0)
+    out = jnp.dot(cols, w,
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+  else:
+    out = None
+    for k in live:
+      off = k * dilation - half
+      tap = jnp.dot(shifted(x, off, None), kernel[k],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+      out = tap if out is None else out + tap
   if bias is not None:
     out = out + bias
   return out
