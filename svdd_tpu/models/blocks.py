@@ -88,14 +88,18 @@ class AttentionPool(nn.Module):
         'to_attn_logits',
         lambda key, shape: 2.0 * jnp.eye(shape[0], dtype=jnp.float32),
         (c, c))
+    # matmul on the FLAT (B, L, C) layout, then group — grouping first
+    # forced an awkward (B, L/2, 2, C) operand layout on TPU
+    logits = jnp.dot(x, logits_w.astype(x.dtype),
+                     preferred_element_type=jnp.float32
+                     ).astype(x.dtype)
     if pad:
       x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+      logits = jnp.pad(logits, ((0, 0), (0, pad), (0, 0)),
+                       constant_values=jnp.finfo(x.dtype).min)
     xg = x.reshape(b, -1, p, c)
-    logits = jnp.einsum('blpc,cd->blpd', xg, logits_w.astype(x.dtype))
-    if pad:
-      mask = jnp.arange(n + pad).reshape(-1, p)[None, :, :, None] >= n
-      logits = jnp.where(mask, jnp.finfo(logits.dtype).min, logits)
-    attn = jax.nn.softmax(logits, axis=2)
+    lg = logits.reshape(b, -1, p, c)
+    attn = jax.nn.softmax(lg, axis=2)
     return (xg * attn).sum(axis=2)
 
 
