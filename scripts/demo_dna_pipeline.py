@@ -1,0 +1,161 @@
+"""Flagship DNA pipeline on real hardware: pretrain -> 3-task Enformer
+oracle -> Enformer value net -> SVDD-MC/PM guided decode.
+
+The DNA-enhancer analogue of demo_rna_pipeline.py at the reference's
+full value-net scale (Enformer-1536, 11 transformer blocks, HepG2 task
+index 0 of 3 — decode.py:78-80, oracle.cal_gosai_pred). Writes
+log/demo-dna-HepG2{,_tw}.npz + log/demo_dna_pipeline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+
+T0 = time.perf_counter()
+RESULTS = {}
+
+
+def phase(m):
+  print(f'+{time.perf_counter()-T0:7.1f}s {m}', flush=True)
+
+
+from svdd_tpu import mdlm, value as value_lib
+from svdd_tpu.config import dna_config
+from svdd_tpu.data.gosai import FaultTolerantIterator, GosaiDataset
+from svdd_tpu.decode import run_decode
+from svdd_tpu.diffusion import Diffusion
+from svdd_tpu.eval.metrics import quantile_report
+from svdd_tpu.models.enformer import EnformerValueModel
+from svdd_tpu.models import ema as ema_lib
+from svdd_tpu.train import diffusion as train_diff
+from svdd_tpu.train import value as train_val
+
+cfg = dna_config()
+cfg.optim.warmup_steps = 50
+cfg.optim.lr = 1e-3
+cfg.loader.batch_size = 16   # larger train batches trip an LLO compiler bug
+L = cfg.model.length
+
+# stage 1: diffusion pretrain on synthetic enhancers
+ds = GosaiDataset('train', length=L)
+val_ds = GosaiDataset('val', length=L)
+it = iter(FaultTolerantIterator(ds, cfg.loader.batch_size, seed=0))
+model = Diffusion(cfg, rng=jax.random.key(0))
+trainer = train_diff.Trainer(model, cfg)
+state = trainer.init_or_restore(jax.random.key(1))
+for i in range(1200):
+  batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+  state, loss = trainer.train_step(state, batch)
+RESULTS['diffusion_loss_last'] = float(loss)
+model.variables = {'params': ema_lib.params(state.ema), **state.extras}
+phase(f'diffusion pretrained (loss {float(loss):.3f})')
+
+# stage 2: 3-task Enformer oracle on the labels (DNA_evaluation analog)
+oracle_module = EnformerValueModel(n_tasks=3, compute_dtype=jnp.bfloat16)
+ovars = jax.jit(oracle_module.init)(jax.random.key(2),
+                                    jnp.zeros((1, L, 4)))
+oparams = ovars.pop('params')
+oextras = ovars
+opt = optax.adamw(3e-4)
+opt_state = opt.init(oparams)
+
+
+@jax.jit
+def oracle_step(params, extras, opt_state, seqs, labels, key):
+  def loss_fn(p):
+    preds, upd = oracle_module.apply(
+        {'params': p, **extras}, jax.nn.one_hot(seqs, 4), train=True,
+        mutable=['batch_stats'], rngs={'dropout': key})
+    return jnp.mean((preds - labels) ** 2), upd
+  (loss, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+  u, opt_state = opt.update(g, opt_state, params)
+  return optax.apply_updates(params, u), {**extras, **upd}, \
+      opt_state, loss
+
+
+oit = iter(FaultTolerantIterator(ds, 16, seed=3))
+key = jax.random.key(4)
+for i in range(400):
+  b = next(oit)
+  key, sub = jax.random.split(key)
+  oparams, oextras, opt_state, oloss = oracle_step(
+      oparams, oextras, opt_state, jnp.asarray(b['seqs']),
+      jnp.asarray(b['clss']), sub)
+oracle_vars = {'params': oparams, **oextras}
+preds = np.asarray(oracle_module.apply(
+    oracle_vars, jax.nn.one_hot(jnp.asarray(val_ds.seqs[:512]), 4)))
+r = np.corrcoef(preds[:, 0], val_ds.clss[:512, 0])[0, 1]
+RESULTS['oracle_val_pearson_hepg2'] = float(r)
+phase(f'Enformer oracle trained: MSE {float(oloss):.4f}, '
+      f'hepg2 val pearson {r:.3f}')
+
+
+def oracle_apply(variables, onehot):
+  return oracle_module.apply(variables, onehot)[:, 0]   # hepg2
+
+
+oracle_pair = (oracle_apply, oracle_vars)
+
+# stage 3: Enformer value net (MC targets) against the frozen diffusion
+vf = value_lib.ValueFunction.create(
+    'dna', L, jax.random.key(5), compute_dtype=jnp.bfloat16)
+tcfg = train_val.ValueTrainerConfig(batch_size=8, learning_rate=3e-4)
+vtrainer = train_val.ValueTrainer(
+    model, vf, lambda oh: oracle_module.apply(oracle_vars, oh)[:, 0],
+    tcfg)
+vstate = vtrainer.init_state(jax.random.key(6))
+vstate, vloss0 = vtrainer._train_step(vstate, None)
+phase(f'value trainer compiled, first MSE {float(vloss0):.4f}')
+for i in range(120):
+  vstate, vloss = vtrainer._train_step(vstate, None)
+RESULTS['value_mse_first'] = float(vloss0)
+RESULTS['value_mse_last'] = float(vloss)
+phase(f'value net trained: MSE {float(vloss0):.4f} -> {float(vloss):.4f}')
+value_vars = {'params': vstate.params, **vstate.extras}
+
+
+def value_apply(variables, tokens):
+  return vf.module.apply(variables, mdlm.transform_samples(tokens))
+
+
+# stage 4: guided decode at the flagship shape
+B = 256
+mc = run_decode(model, oracle_pair, algo='svdd_mc',
+                value_fn=(value_apply, value_vars),
+                gen_batch_num=1, batch_size=B, sample_M=10, seed=44)
+phase('SVDD-MC decode done')
+mc.save_npz('log/demo-dna-HepG2.npz')
+
+pm = run_decode(model, oracle_pair, algo='svdd_pm',
+                gen_batch_num=1, batch_size=B, sample_M=10, seed=44,
+                skip_best_of_n=True)
+phase('SVDD-PM decode done')
+pm.save_npz('log/demo-dna-HepG2_tw.npz')
+
+report = quantile_report({
+    'baseline (pretrained)': mc.baseline_preds,
+    'SVDD-MC': mc.reward_preds,
+    'SVDD-PM': pm.reward_preds,
+    'best-of-N': mc.top_k,
+})
+RESULTS['report'] = report
+for name, row in report.items():
+  phase(f"{name:22s} q50={row['q50']:.3f} q80={row['q80']:.3f} "
+        f"q90={row['q90']:.3f} (n={row['n']})")
+with open('log/demo_dna_pipeline.json', 'w') as f:
+  json.dump(RESULTS, f, indent=2)
+phase('wrote log/demo_dna_pipeline.json')

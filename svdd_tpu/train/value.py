@@ -121,15 +121,22 @@ class ValueTrainer:
         batch = value_lib.mc_targets(res.samples, res.mid_x,
                                      self.reward_fn)
 
+      # timed models take per-state step indices (the reference's
+      # TimedEnformer training loop feeds torch.full((B,L), i),
+      # Enformer.py:204-215; mc_targets carries the same indices)
+      extra_in = ((batch.time_indices,)
+                  if self.vf.timed and batch.time_indices is not None
+                  else ())
+
       def loss_fn(params):
         variables = {'params': params, **state.extras}
         if has_stats:
           preds, updates = module.apply(
-              variables, batch.onehots, train=True,
+              variables, batch.onehots, *extra_in, train=True,
               mutable=['batch_stats'], rngs={'dropout': k_drop})
         else:
-          preds = module.apply(variables, batch.onehots, train=True,
-                               rngs={'dropout': k_drop})
+          preds = module.apply(variables, batch.onehots, *extra_in,
+                               train=True, rngs={'dropout': k_drop})
           updates = {}
         loss = jnp.mean((preds.reshape(-1)
                          - batch.targets.reshape(-1)) ** 2)

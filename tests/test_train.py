@@ -128,3 +128,34 @@ def test_iterator_sharding_disjoint():
   b0 = next(iter(s0))['seqs']
   b1 = next(iter(s1))['seqs']
   assert not np.array_equal(b0, b1)
+
+
+def test_timed_value_training(cfg):
+  """TimedEnformer-style value training: per-state step indices flow
+  through mc_targets into the timed module."""
+  from svdd_tpu.models.convgru import ConvGRUValueModel
+  import flax.linen as nn
+
+  class TimedToy(nn.Module):
+    @nn.compact
+    def __call__(self, x, time_indices, train=False):
+      emb = nn.Embed(cfg.sampling.steps + 1, 4)(
+          jnp.clip(time_indices, 0, cfg.sampling.steps))
+      x = x + 0.01 * emb
+      return nn.Dense(1)(x.mean(axis=1))[..., 0]
+
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  reward_fn = rewards.synthetic_motif_oracle(cfg.model.length)
+  module = TimedToy()
+  variables = module.init(
+      jax.random.key(1), jnp.zeros((1, cfg.model.length, 4)),
+      jnp.zeros((1, cfg.model.length), jnp.int32))
+  vf = value_lib.ValueFunction(module, variables, cfg.model.length,
+                               timed=True)
+  tcfg = train_val.ValueTrainerConfig(batch_size=4, learning_rate=1e-3)
+  trainer = train_val.ValueTrainer(model, vf, reward_fn, tcfg)
+  state = trainer.init_state(jax.random.key(2))
+  state, loss0 = trainer._train_step(state, None)
+  for _ in range(10):
+    state, loss = trainer._train_step(state, None)
+  assert float(loss) < float(loss0)
