@@ -85,7 +85,13 @@ class ValueTrainer:
     else:
       self._sampler = diffusion.sampler(tcfg.batch_size,
                                         collect_mid=True)
-    self._train_step = jax.jit(self._make_step(), donate_argnums=(0,))
+    # trajectory generation and the value grad step are SEPARATE jitted
+    # programs: fusing them into one (as the first design did) produced
+    # a compile unit big enough to break the remote TPU compiler
+    # transport for the full Enformer value net
+    self._grad_step = jax.jit(self._make_grad_step(),
+                              donate_argnums=(0,))
+    self._sample_key = jax.random.key(0)
 
   def _token_schedule(self):
     t = self.tcfg
@@ -103,23 +109,29 @@ class ValueTrainer:
     return ValueTrainState(jnp.asarray(0), params, variables,
                            self.opt.init(params), rng, jnp.asarray(0.0))
 
-  def _make_step(self):
+  def _train_step(self, state: ValueTrainState, _):
+    """One iteration: sample a trajectory (program 1), then the value
+    grad step on its states (program 2)."""
+    self._sample_key, sub = jax.random.split(self._sample_key)
+    res = self._sampler(sub)
+    extra = res.extra if self.tcfg.cdq else ()
+    return self._grad_step(state, res.samples, res.mid_x, extra)
+
+  def _make_grad_step(self):
     module = self.vf.module
     has_stats = 'batch_stats' in self.vf.variables
 
-    def step(state: ValueTrainState, _):
-      rng, k_sample, k_drop = jax.random.split(state.rng, 3)
-      res = self._sampler(k_sample)
+    def step(state: ValueTrainState, samples, mid_x, cdq_candidates):
+      rng, k_drop = jax.random.split(state.rng)
       if self.tcfg.cdq:
         # bootstrap targets use the CURRENT (stop-gradient) value net
         frozen_value = lambda oh: module.apply(
             {'params': state.params, **state.extras}, oh)
         batch = value_lib.cdq_targets(
-            res.samples, res.mid_x, res.extra, self.reward_fn,
+            samples, mid_x, cdq_candidates, self.reward_fn,
             frozen_value)
       else:
-        batch = value_lib.mc_targets(res.samples, res.mid_x,
-                                     self.reward_fn)
+        batch = value_lib.mc_targets(samples, mid_x, self.reward_fn)
 
       # timed models take per-state step indices (the reference's
       # TimedEnformer training loop feeds torch.full((B,L), i),
