@@ -113,14 +113,15 @@ oracle_pair = (oracle_apply, oracle_vars)
 # stage 3: Enformer value net (MC targets) against the frozen diffusion
 vf = value_lib.ValueFunction.create(
     'dna', L, jax.random.key(5), compute_dtype=jnp.bfloat16)
-tcfg = train_val.ValueTrainerConfig(batch_size=8, learning_rate=3e-4)
+tcfg = train_val.ValueTrainerConfig(batch_size=8, learning_rate=3e-4,
+                                    mc_subsample=3)
 vtrainer = train_val.ValueTrainer(
     model, vf, lambda oh: oracle_module.apply(oracle_vars, oh)[:, 0],
     tcfg)
 vstate = vtrainer.init_state(jax.random.key(6))
 vstate, vloss0 = vtrainer._train_step(vstate, None)
 phase(f'value trainer compiled, first MSE {float(vloss0):.4f}')
-for i in range(120):
+for i in range(300):
   vstate, vloss = vtrainer._train_step(vstate, None)
 RESULTS['value_mse_first'] = float(vloss0)
 RESULTS['value_mse_last'] = float(vloss)

@@ -55,6 +55,10 @@ class ValueTrainerConfig:
   cdq: bool = False
   batch_size: int = 32
   eval_every: int = 200
+  # train on a random subset of intermediate timesteps per iteration
+  # (None = all, the reference behavior); big value nets need this to
+  # keep the grad-step program compilable on the remote TPU stack
+  mc_subsample: Optional[int] = None
   tokens_per_iter: float = 32 * 128 * 200 * 4   # (trainer.py:213)
 
 
@@ -122,7 +126,7 @@ class ValueTrainer:
     has_stats = 'batch_stats' in self.vf.variables
 
     def step(state: ValueTrainState, samples, mid_x, cdq_candidates):
-      rng, k_drop = jax.random.split(state.rng)
+      rng, k_drop, k_sub = jax.random.split(state.rng, 3)
       if self.tcfg.cdq:
         # bootstrap targets use the CURRENT (stop-gradient) value net
         frozen_value = lambda oh: module.apply(
@@ -131,7 +135,9 @@ class ValueTrainer:
             samples, mid_x, cdq_candidates, self.reward_fn,
             frozen_value)
       else:
-        batch = value_lib.mc_targets(samples, mid_x, self.reward_fn)
+        batch = value_lib.mc_targets(
+            samples, mid_x, self.reward_fn, subsample_key=k_sub,
+            num_subsample=self.tcfg.mc_subsample)
 
       # timed models take per-state step indices (the reference's
       # TimedEnformer training loop feeds torch.full((B,L), i),

@@ -120,20 +120,36 @@ class ValueBatch(NamedTuple):
   time_indices: Optional[Array] = None  # (N, L) for timed models
 
 
-def mc_targets(samples: Array, mid_x: Array, reward_fn) -> ValueBatch:
+def mc_targets(samples: Array, mid_x: Array, reward_fn,
+               subsample_key: Optional[jax.Array] = None,
+               num_subsample: Optional[int] = None) -> ValueBatch:
   """Monte-Carlo targets: every intermediate state regresses onto the
   final sample's reward (Enformer.py:192-225).
 
   samples: (B, L) final tokens; mid_x: (S-1, B, L) intermediates.
-  Produces S*B training pairs (S-1 mids + the final state)."""
+  Produces S*B training pairs (S-1 mids + the final state).
+
+  ``num_subsample`` keeps only that many RANDOM intermediate timesteps
+  per iteration (equal in expectation to the reference's train-on-all-
+  timesteps loss; used for the big Enformer value net where the full
+  S*B grad batch overwhelms the TPU compiler)."""
   s_minus_1, b, l = mid_x.shape
   final_onehot = mdlm.transform_samples(samples)
   target = reward_fn(final_onehot)                       # (B,)
+  if num_subsample is not None and num_subsample < s_minus_1:
+    if subsample_key is None:
+      raise ValueError('num_subsample requires subsample_key')
+    idx = jax.random.choice(subsample_key, s_minus_1,
+                            (num_subsample,), replace=False)
+    mid_x = jnp.take(mid_x, idx, axis=0)
+    steps = jnp.concatenate([idx, jnp.asarray([s_minus_1])])
+    s_minus_1 = num_subsample
+  else:
+    steps = jnp.arange(s_minus_1 + 1)
   states = jnp.concatenate(
-      [mid_x.reshape(-1, l), samples], axis=0)           # (S*B, L)
+      [mid_x.reshape(-1, l), samples], axis=0)           # (S'*B, L)
   onehots = mdlm.transform_samples(states)
   targets = jnp.tile(target, s_minus_1 + 1)
-  steps = jnp.arange(s_minus_1 + 1)
   time_idx = jnp.repeat(steps, b)[:, None] * jnp.ones((1, l), jnp.int32)
   return ValueBatch(onehots, targets, time_idx)
 
