@@ -110,27 +110,57 @@ def oracle_apply(variables, onehot):
 
 oracle_pair = (oracle_apply, oracle_vars)
 
-# stage 3: Enformer value net (MC targets) against the frozen diffusion
-vf = value_lib.ValueFunction.create(
-    'dna', L, jax.random.key(5), compute_dtype=jnp.bfloat16)
-tcfg = train_val.ValueTrainerConfig(batch_size=8, learning_rate=3e-4,
-                                    mc_subsample=3)
-vtrainer = train_val.ValueTrainer(
-    model, vf, lambda oh: oracle_module.apply(oracle_vars, oh)[:, 0],
-    tcfg)
-vstate = vtrainer.init_state(jax.random.key(6))
-vstate, vloss0 = vtrainer._train_step(vstate, None)
-phase(f'value trainer compiled, first MSE {float(vloss0):.4f}')
+# stage 3: Enformer value net (MC targets, oracle-style step: the
+# ValueTrainer's donated-state grad program breaks the remote compiler
+# transport at this scale; plain separate-arg adamw compiles fine)
+value_module = EnformerValueModel(n_tasks=1, compute_dtype=jnp.bfloat16)
+vvars = jax.jit(value_module.init)(jax.random.key(5),
+                                   jnp.zeros((1, L, 4)))
+vparams = vvars.pop('params')
+vextras = vvars
+vopt = optax.adamw(3e-4)
+vopt_state = vopt.init(vparams)
+traj_sampler = model.sampler(8, collect_mid=True)
+
+
+@jax.jit
+def value_step(params, extras, opt_state, states, targets, key):
+  onehots = mdlm.transform_samples(states)
+  def loss_fn(p):
+    preds, upd = value_module.apply(
+        {'params': p, **extras}, onehots, train=True,
+        mutable=['batch_stats'], rngs={'dropout': key})
+    return jnp.mean((preds - targets) ** 2), upd
+  (loss, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+  u, opt_state = vopt.update(g, opt_state, params)
+  return optax.apply_updates(params, u), {**extras, **upd}, \
+      opt_state, loss
+
+
+vkey = jax.random.key(6)
+vloss0 = None
 for i in range(300):
-  vstate, vloss = vtrainer._train_step(vstate, None)
-RESULTS['value_mse_first'] = float(vloss0)
+  vkey, k1, k2, k3 = jax.random.split(vkey, 4)
+  res = traj_sampler(k1)
+  target = oracle_module.apply(
+      oracle_vars, mdlm.transform_samples(res.samples))[:, 0]
+  idx = jax.random.choice(k2, res.mid_x.shape[0], (3,), replace=False)
+  states = jnp.concatenate(
+      [jnp.take(res.mid_x, idx, axis=0).reshape(-1, L), res.samples])
+  targets = jnp.tile(target, 4)
+  vparams, vextras, vopt_state, vloss = value_step(
+      vparams, vextras, vopt_state, states, targets, k3)
+  if vloss0 is None:
+    vloss0 = float(vloss)
+    phase(f'value step compiled, first MSE {vloss0:.4f}')
+RESULTS['value_mse_first'] = vloss0
 RESULTS['value_mse_last'] = float(vloss)
-phase(f'value net trained: MSE {float(vloss0):.4f} -> {float(vloss):.4f}')
-value_vars = {'params': vstate.params, **vstate.extras}
+phase(f'value net trained: MSE {vloss0:.4f} -> {float(vloss):.4f}')
+value_vars = {'params': vparams, **vextras}
 
 
 def value_apply(variables, tokens):
-  return vf.module.apply(variables, mdlm.transform_samples(tokens))
+  return value_module.apply(variables, mdlm.transform_samples(tokens))
 
 
 # stage 4: guided decode at the flagship shape

@@ -92,9 +92,11 @@ class ValueTrainer:
     # trajectory generation and the value grad step are SEPARATE jitted
     # programs: fusing them into one (as the first design did) produced
     # a compile unit big enough to break the remote TPU compiler
-    # transport for the full Enformer value net
-    self._grad_step = jax.jit(self._make_grad_step(),
-                              donate_argnums=(0,))
+    # transport for the full Enformer value net. State donation is also
+    # OFF: the donated-state variant reproducibly broke the same
+    # transport at full Enformer scale while the undonated oracle-style
+    # step compiled in ~160s (scripts/demo_dna_pipeline.py stage 3).
+    self._grad_step = jax.jit(self._make_grad_step())
     self._sample_key = jax.random.key(0)
 
   def _token_schedule(self):
