@@ -100,3 +100,36 @@ def test_train_oracle_learns():
   labels = val.clss[:256, 0]
   r = np.corrcoef(preds, labels)[0, 1]
   assert r > 0.3, f'oracle failed to learn (pearson {r:.3f})'
+
+
+def test_yaml_config_presets():
+  import glob
+  from svdd_tpu.config import Config
+  paths = sorted(glob.glob('svdd_tpu/configs/*.yaml'))
+  assert len(paths) >= 3
+  for p in paths:
+    cfg = Config.from_yaml(p)
+    assert cfg.vocab_size == cfg.alphabet_size + 1
+  dna = Config.from_yaml('svdd_tpu/configs/dna.yaml')
+  assert dna.model.length == 200 and dna.task == 'dna'
+
+
+def test_run_decode_npz_roundtrip(tmp_path):
+  """decode.run_decode + save_npz: reference-compatible keys/shapes."""
+  from svdd_tpu.config import tiny_test_config
+  from svdd_tpu.diffusion import Diffusion
+  from svdd_tpu.decode import run_decode
+  from svdd_tpu import rewards
+  cfg = tiny_test_config('rna')
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  reward = rewards.synthetic_motif_oracle(cfg.model.length)
+  res = run_decode(model, reward, algo='svdd_pm', gen_batch_num=2,
+                   batch_size=4, sample_M=2, seed=1)
+  assert res.samples.shape == (8, cfg.model.length)
+  assert res.reward_preds.shape == (8,)
+  assert res.baseline_preds.shape == (8,)
+  assert res.top_k.shape == (8,)          # N*M draws / M
+  p = tmp_path / 'out.npz'
+  res.save_npz(str(p))
+  d = np.load(p)
+  assert set(d.files) == {'decoding', 'baseline'}
