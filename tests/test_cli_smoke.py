@@ -1,0 +1,39 @@
+"""Subprocess smoke tests for the decode CLI scripts (argparse wiring,
+model loading, npz outputs) at tiny scale."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+COMMON = ['--task', 'rna', '--reward_name', 'MRL', '--batch_size', '4',
+          '--val_batch_num', '1', '--num_steps', '4', '--length', '12',
+          '--sample_M', '2', '--skip_best_of_n']
+
+
+def _run(module, extra, tmp_path):
+  env = dict(os.environ, JAX_PLATFORMS='cpu')
+  env.pop('PALLAS_AXON_POOL_IPS', None)
+  env['PYTHONPATH'] = REPO
+  out = subprocess.run(
+      [sys.executable, '-m', module] + COMMON
+      + ['--out_dir', str(tmp_path)] + extra,
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  return out
+
+
+@pytest.mark.parametrize('module,extra,suffix', [
+    ('svdd_tpu.cli.decode_TDS', ['--alpha', '0.5'], '_TDS'),
+    ('svdd_tpu.cli.decode_DPS', ['--guidance_scale', '10'], '_DPS'),
+    ('svdd_tpu.cli.decode_DG', ['--guidance_scale', '10'], '_DPS'),
+])
+def test_decode_cli_smoke(module, extra, suffix, tmp_path):
+  _run(module, extra, tmp_path)
+  d = np.load(tmp_path / f'rna-MRL{suffix}.npz')
+  assert set(d.files) == {'decoding', 'baseline'}
+  assert d['decoding'].shape == (4,)
