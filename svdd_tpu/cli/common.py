@@ -12,9 +12,17 @@ without relearning the CLI.
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Optional
 
 import jax
+
+# persistent XLA compile cache — guided-decode compiles take minutes
+# through the axon remote compiler and are reusable across processes
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                 '/root/.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
 
 from svdd_tpu import rewards, utils, value as value_lib
 from svdd_tpu.checkpoint import load_pytree
