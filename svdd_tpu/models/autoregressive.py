@@ -43,7 +43,7 @@ class ARBlock(nn.Module):
     q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
-    o = attn_ops.mha(q, k, v, causal=True)
+    o = attn_ops.flash_mha(q, k, v, causal=True)
     o = nn.Dense(self.dim, use_bias=False, name='attn_out')(
         o.reshape(b, l, self.dim))
     x = skip + nn.Dropout(self.dropout, deterministic=not train)(o)
