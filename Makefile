@@ -1,0 +1,30 @@
+# svdd_tpu dev shortcuts. CPU targets bypass the axon TPU tunnel
+# (see .claude/skills/verify/SKILL.md for environment rules).
+
+CPU_ENV := env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
+
+.PHONY: test test-fast bench bench-small demo-rna demo-dna native lint
+
+test:
+	$(CPU_ENV) python -m pytest tests/ -q
+
+test-fast:
+	$(CPU_ENV) python -m pytest tests/ -q -x --ignore=tests/test_cli_smoke.py
+
+bench:            # real TPU; ensure no other JAX process is running
+	python bench.py
+
+bench-small:      # CPU self-test
+	$(CPU_ENV) python bench.py --small
+
+demo-rna:         # full trained pipeline, ~5 min on one TPU chip
+	python scripts/demo_rna_pipeline.py
+
+demo-dna:         # flagship DNA pipeline, ~22 min on one TPU chip
+	python scripts/demo_dna_pipeline.py
+
+native:
+	python -m svdd_tpu.native.build
+
+lint:
+	python -m compileall -q svdd_tpu tests scripts bench.py __graft_entry__.py
