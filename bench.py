@@ -40,7 +40,7 @@ ASSUMED_REFERENCE_MFU = 0.20
 
 
 def build_workload(batch_size: int, sample_m: int, steps: int,
-                   length: int, small: bool):
+                   length: int, small: bool, algo: str = 'svdd_mc'):
   from svdd_tpu.config import dna_config
   from svdd_tpu.diffusion import Diffusion
   from svdd_tpu.models.enformer import EnformerValueModel
@@ -71,6 +71,13 @@ def build_workload(batch_size: int, sample_m: int, steps: int,
     onehot = mdlm.transform_samples(tokens)
     return value_module.apply(variables, onehot)
 
+  if algo == 'svdd_pm':
+    # oracle == the same Enformer net; Tweedie path (reference
+    # decode_tweedie.py): +1 denoiser fwd on (B*M) per step
+    def reward_apply(variables, onehot):
+      return value_module.apply(variables, onehot)
+    return model.tweedie_sampler((reward_apply, value_vars),
+                                 batch_size, sample_M=sample_m)
   sampler = model.controlled_sampler((value_apply, value_vars),
                                      batch_size, sample_M=sample_m)
   return sampler
@@ -93,6 +100,10 @@ def main() -> None:
   p.add_argument('--steps', type=int, default=128)
   p.add_argument('--length', type=int, default=200)
   p.add_argument('--iters', type=int, default=3)
+  p.add_argument('--algo', default='svdd_mc',
+                 choices=['svdd_mc', 'svdd_pm'],
+                 help='svdd_pm adds a second denoiser pass per step '
+                      '(decode_tweedie.py path)')
   p.add_argument('--small', action='store_true',
                  help='tiny CPU self-test preset')
   args = p.parse_args()
@@ -111,7 +122,7 @@ def main() -> None:
   n_chips = jax.device_count()
   phase(f'devices: {jax.devices()}')
   sampler = build_workload(args.batch_size, args.sample_M, args.steps,
-                           args.length, args.small)
+                           args.length, args.small, args.algo)
   phase('workload built (models initialized)')
 
   import numpy as np
@@ -146,7 +157,7 @@ def main() -> None:
     vs_baseline = 0.0
 
   print(json.dumps({
-      'metric': 'SVDD-MC decode throughput '
+      'metric': f'{args.algo.upper().replace("_", "-")} decode throughput '
                 f'(B={args.batch_size}, M={args.sample_M}, '
                 f'steps={args.steps}, L={args.length})',
       'value': round(seqs_per_sec_chip, 3),
