@@ -24,7 +24,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# bench runs the denoiser CNN in bf16 (library default is fp32 for
+# reference parity; reward-lift tests pass under bf16 and the decode
+# consumes logits only through a categorical draw). Opt out with
+# SVDD_CNN_BF16=0.
+os.environ.setdefault('SVDD_CNN_BF16', '1')
 
 import jax
 import jax.numpy as jnp

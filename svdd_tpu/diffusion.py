@@ -39,12 +39,16 @@ def build_backbone(config: Config):
   dtype = (jnp.bfloat16 if config.parallel.precision == 'bf16'
            else jnp.float32)
   if config.backbone == 'cnn':
-    # fp32 like the reference's autocast pin (diffusion_gosai.py:345).
-    # (A bf16 CNN variant consistently crashed the axon TPU worker —
-    # 'TPU backend error (Internal)' — and the CNN is <10% of guided
-    # step time, so fp32 stays.)
+    # fp32 by default like the reference's autocast pin
+    # (diffusion_gosai.py:345). SVDD_CNN_BF16=1 opts into bf16 compute
+    # (an earlier bf16 CNN crashed the axon TPU worker, but that
+    # predated the dead-tap conv rewrite which fixed the same
+    # compiler's LLO crash class).
+    import os
+    cnn_dtype = (jnp.bfloat16 if os.environ.get('SVDD_CNN_BF16') == '1'
+                 else jnp.float32)
     return CNNModel(config=config, alphabet_size=config.vocab_size,
-                    num_cls=3, compute_dtype=jnp.float32)
+                    num_cls=3, compute_dtype=cnn_dtype)
   if config.backbone == 'dit':
     from svdd_tpu.models.dit import DIT
     return DIT(config=config, vocab_size=config.vocab_size,
