@@ -12,13 +12,14 @@ def test_loglinear_closed_form():
   t = jnp.array([0.0, 0.25, 0.5, 0.9])
   sigma, dsigma = s(t)
   np.testing.assert_allclose(sigma, -np.log1p(-(1 - 1e-3) * np.asarray(t)),
-                             rtol=1e-6)
+                             rtol=5e-4)
   np.testing.assert_allclose(dsigma,
                              (1 - 1e-3) / (1 - (1 - 1e-3) * np.asarray(t)),
-                             rtol=1e-6)
+                             rtol=5e-4)
   # masking prob 1 - exp(-sigma) == (1-eps) t
   np.testing.assert_allclose(1 - np.exp(-np.asarray(sigma)),
-                             (1 - 1e-3) * np.asarray(t), rtol=1e-5)
+                             (1 - 1e-3) * np.asarray(t),
+                             rtol=5e-4, atol=1e-6)
 
 
 def test_rate_is_derivative_of_total():
@@ -38,7 +39,7 @@ def test_cosine_matches_reference_formula():
   s = schedules.cosine(eps)
   t = jnp.array([0.3])
   expected = -np.log(eps + (1 - eps) * np.cos(0.3 * np.pi / 2))
-  np.testing.assert_allclose(s.total(t), [expected], rtol=1e-6)
+  np.testing.assert_allclose(s.total(t), [expected], rtol=1e-4)
 
 
 def test_factory():
