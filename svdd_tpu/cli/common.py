@@ -81,13 +81,45 @@ def task_config(args) -> Config:
   return cfg
 
 
+def _is_torch_ckpt(path: str) -> bool:
+  return path.endswith(('.pt', '.pth', '.ckpt'))
+
+
+def _torch_prefix(sd: dict, candidates: tuple[str, ...]) -> str:
+  """Detect the submodule prefix a torch checkpoint was saved under
+  (Lightning prepends 'backbone.'; DataParallel prepends 'module.',
+  trainer.py:69-71)."""
+  for p in candidates:
+    if any(k.startswith(p) for k in sd):
+      return p
+  return ''
+
+
 def load_diffusion(args, cfg: Config) -> Diffusion:
-  """(Enformer.py:75-101 loads the frozen ref_model; here from orbax.)"""
+  """(Enformer.py:75-101 loads the frozen ref_model; here from orbax,
+  or imported directly from a reference torch/Lightning .ckpt.)"""
   model = Diffusion(cfg, rng=jax.random.key(cfg.seed))
-  if args.diffusion_checkpoint_path:
-    model.variables = load_pytree(args.diffusion_checkpoint_path,
-                                  model.variables)
-    LOGGER.info('loaded diffusion ckpt %s', args.diffusion_checkpoint_path)
+  path = args.diffusion_checkpoint_path
+  if path and _is_torch_ckpt(path):
+    from svdd_tpu.checkpoint import import_torch_state_dict
+    sd = import_torch_state_dict(path)
+    prefix = _torch_prefix(sd, ('backbone.', 'module.backbone.'))
+    sd = {k[len(prefix):]: v for k, v in sd.items()
+          if k.startswith(prefix)}
+    if cfg.model.backbone == 'cnn':
+      from svdd_tpu.importers.cnn import import_cnn_params
+      model.variables = import_cnn_params(
+          sd, num_layers=5 * cfg.model.num_cnn_stacks)
+    elif cfg.model.backbone == 'dit':
+      from svdd_tpu.importers.dit import import_dit_params
+      model.variables = import_dit_params(sd, n_blocks=cfg.model.n_blocks)
+    else:
+      raise NotImplementedError(
+          f'torch import for backbone {cfg.model.backbone}')
+    LOGGER.info('imported torch diffusion ckpt %s', path)
+  elif path:
+    model.variables = load_pytree(path, model.variables)
+    LOGGER.info('loaded diffusion ckpt %s', path)
   else:
     LOGGER.warning('no --diffusion_checkpoint_path: using randomly '
                    'initialized diffusion model')
@@ -120,7 +152,20 @@ def load_value_function(args, cfg: Config) -> value_lib.ValueFunction:
       cfg.model.length, jax.random.key(1),
       model=args.model, n_tasks=args.n_task)
   path = args.load_checkpoint_path or args.pre_model_path
-  if path:
+  if path and _is_torch_ckpt(path):
+    # reference value-net checkpoints (trainer.py:73-96 dicts)
+    from svdd_tpu.checkpoint import import_torch_state_dict
+    sd = import_torch_state_dict(path)
+    prefix = _torch_prefix(sd, ('module.',))
+    if args.task in ('rna', 'rna_saluki'):
+      from svdd_tpu.importers.convgru import import_convgru_value_model
+      vf.variables = import_convgru_value_model(sd, prefix=prefix)
+    else:
+      from svdd_tpu.importers.enformer import import_enformer_value_model
+      vf.variables = import_enformer_value_model(
+          sd, timed=(args.model == 'timedenformer'), prefix=prefix)
+    LOGGER.info('imported torch value net %s', path)
+  elif path:
     vf.variables = load_pytree(path, vf.variables)
     LOGGER.info('loaded value net %s', path)
   else:

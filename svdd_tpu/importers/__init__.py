@@ -10,3 +10,8 @@ parity tests against the reference architectures run under torch-CPU
 """
 
 from svdd_tpu.importers.cnn import import_cnn_params  # noqa: F401
+from svdd_tpu.importers.convgru import (  # noqa: F401
+    import_bidirectional_gru, import_convgru_value_model, import_gru_cell)
+from svdd_tpu.importers.dit import import_dit_params  # noqa: F401
+from svdd_tpu.importers.enformer import (  # noqa: F401
+    import_enformer_value_model)

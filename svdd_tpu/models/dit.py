@@ -103,7 +103,7 @@ class DDiTBlock(nn.Module):
     hd = self.dim // h
 
     skip = x
-    xm = modulate(nn.LayerNorm(use_bias=False, dtype=x.dtype)(x),
+    xm = modulate(nn.LayerNorm(epsilon=1e-5, use_bias=False, dtype=x.dtype)(x),
                   shift_msa, scale_msa)
     qkv = nn.Dense(3 * self.dim, use_bias=False, name='attn_qkv')(xm)
     q, k, v = jnp.split(qkv.reshape(b, l, 3, h, hd), 3, axis=2)
@@ -116,7 +116,7 @@ class DDiTBlock(nn.Module):
     o = nn.Dropout(self.dropout, deterministic=not train)(o)
     x = skip + gate_msa[:, None] * o
 
-    xm = modulate(nn.LayerNorm(use_bias=False, dtype=x.dtype)(x),
+    xm = modulate(nn.LayerNorm(epsilon=1e-5, use_bias=False, dtype=x.dtype)(x),
                   shift_mlp, scale_mlp)
     y = nn.Dense(self.mlp_ratio * self.dim, name='mlp_0')(xm)
     y = jax.nn.gelu(y, approximate=True)
@@ -137,7 +137,7 @@ class DDitFinalLayer(nn.Module):
                     kernel_init=nn.initializers.zeros,
                     bias_init=nn.initializers.zeros)(c)
     shift, scale = jnp.split(mods, 2, axis=-1)
-    x = modulate(nn.LayerNorm(use_bias=False, dtype=x.dtype)(x),
+    x = modulate(nn.LayerNorm(epsilon=1e-5, use_bias=False, dtype=x.dtype)(x),
                  shift, scale)
     return nn.Dense(self.out_channels,
                     kernel_init=nn.initializers.zeros,

@@ -181,7 +181,8 @@ class EnformerTransformerBlock(nn.Module):
   @nn.compact
   def __call__(self, x: Array, train: bool = False) -> Array:
     skip = x
-    x = nn.LayerNorm(dtype=x.dtype)(x)
+    # epsilon 1e-5 matches torch.nn.LayerNorm for checkpoint parity
+    x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
     x = EnformerAttention(
         dim=self.in_len, heads=self.n_heads, dim_key=self.key_len,
         dim_value=self.in_len // self.n_heads,

@@ -37,3 +37,36 @@ def test_decode_cli_smoke(module, extra, suffix, tmp_path):
   d = np.load(tmp_path / f'rna-MRL{suffix}.npz')
   assert set(d.files) == {'decoding', 'baseline'}
   assert d['decoding'].shape == (4,)
+
+
+def test_decode_cli_loads_torch_value_checkpoint(tmp_path):
+  """--load_checkpoint_path pointing at a reference-format torch .pt
+  (trainer.py:73-96 layout) must import through
+  importers.convgru.import_convgru_value_model. L=50 so the value net
+  matches the reference's hard-wired RNA architecture."""
+  torch = pytest.importorskip('torch')
+  sys.path.insert(0, os.path.join(REPO, 'tests'))
+  try:
+    import torch_mirrors as tm
+  finally:
+    sys.path.pop(0)
+  mirror = tm.make_rna_value_mirror()
+  tm.randomize_state_dict(mirror, seed=3)
+  ckpt = tmp_path / 'value.pt'
+  torch.save({'model_state_dict': mirror.state_dict()}, ckpt)
+
+  env = dict(os.environ, JAX_PLATFORMS='cpu')
+  env.pop('PALLAS_AXON_POOL_IPS', None)
+  env['PYTHONPATH'] = REPO
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.decode',
+       '--task', 'rna', '--reward_name', 'MRL', '--batch_size', '4',
+       '--val_batch_num', '1', '--num_steps', '4', '--length', '50',
+       '--sample_M', '2', '--skip_best_of_n',
+       '--load_checkpoint_path', str(ckpt),
+       '--out_dir', str(tmp_path)],
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert 'imported torch value net' in out.stderr + out.stdout
+  d = np.load(tmp_path / 'rna-MRL.npz')
+  assert d['decoding'].shape == (4,)
