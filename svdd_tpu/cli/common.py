@@ -40,7 +40,18 @@ def make_parser(description: str) -> argparse.ArgumentParser:
   p.add_argument('--debug', action='store_true', default=False)
   p.add_argument('--task', type=str, default='dna',
                  help='dna / rna / rna_saluki')
-  p.add_argument('--saluki_body', type=int, default=0)
+  p.add_argument('--saluki_body', type=int, default=0,
+                 help='reference surface parity: selects '
+                      'saluki_body[_{N}].npy inside SVDD_DATA_DIR '
+                      '(the reference hardcodes absolute paths, '
+                      'Enformer.py:292-300)')
+  p.add_argument('--saluki_body_path', type=str, default=None,
+                 help=".npy file with the saluki constant 'body' "
+                      'tensor appended behind each sequence '
+                      '(rna_saluki task)')
+  p.add_argument('--saluki_final_length', type=int, default=12288,
+                 help='padded saluki oracle input length '
+                      '(Enformer.py:279 final_length)')
   p.add_argument('--n_task', type=int, default=1)
   p.add_argument('--model', type=str, default='enformer',
                  help='enformer / multienformer / timedenformer')
@@ -126,12 +137,42 @@ def load_diffusion(args, cfg: Config) -> Diffusion:
   return model
 
 
+def load_saluki_body(args):
+  """The constant saluki 'body' tensor (coding region + tracks) the
+  reference appends behind each 5'UTR (Enformer.py:292-300, hardcoded
+  absolute .npy paths there). --saluki_body_path wins; the reference's
+  int flag maps to saluki_body[_{N}].npy under SVDD_DATA_DIR."""
+  import numpy as np
+  path = args.saluki_body_path
+  if not path and args.saluki_body:
+    data_dir = os.environ.get('SVDD_DATA_DIR', '.')
+    path = os.path.join(data_dir, f'saluki_body_{args.saluki_body}.npy')
+  if not path:
+    return None
+  body = np.load(path)
+  LOGGER.info('loaded saluki body %s %s', path, body.shape)
+  import jax.numpy as jnp
+  return jnp.asarray(body, jnp.float32)
+
+
 def load_reward_fn(args, cfg: Config):
   """Frozen reward oracle (Enformer.py:103-133). Without a checkpoint
   the synthetic motif oracle stands in so pipelines stay runnable."""
+  key = jax.random.key(0)
+  if args.task == 'rna_saluki':
+    # 6-channel saluki stability oracle over the padded 12288 input
+    oracle = rewards.RewardOracle.create_saluki(
+        key, final_length=getattr(args, 'saluki_final_length', 12288))
+    if args.reward_checkpoint_path:
+      oracle.variables = load_pytree(args.reward_checkpoint_path,
+                                     oracle.variables)
+      LOGGER.info('loaded reward oracle %s', args.reward_checkpoint_path)
+    else:
+      LOGGER.warning('no --reward_checkpoint_path: saluki oracle is '
+                     'randomly initialized')
+    return oracle.as_pair()
   if args.reward_checkpoint_path:
-    key = jax.random.key(0)
-    if args.task in ('rna', 'rna_saluki'):
+    if args.task == 'rna':
       oracle = rewards.RewardOracle.create_rna(cfg.model.length, key)
     else:
       oracle = rewards.RewardOracle.create_dna(cfg.model.length, key)

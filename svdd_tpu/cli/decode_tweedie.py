@@ -28,6 +28,9 @@ def run(args) -> None:
       tweedie=str(args.tweedie) == 'True',
       seed=args.seed,
       skip_best_of_n=args.skip_best_of_n,
+      task=cfg.task,
+      saluki_body=common.load_saluki_body(args),
+      saluki_final_length=args.saluki_final_length,
   )
 
   path = common.npz_path(args, '_tw')

@@ -54,14 +54,23 @@ def _as_callable(fn_or_pair):
   return fn_or_pair
 
 
-def _score(reward_fn, samples) -> np.ndarray:
-  return np.asarray(
-      _as_callable(reward_fn)(mdlm.transform_samples(samples)))
+def _score(reward_fn, samples, task: str = 'dna',
+           saluki_body=None, saluki_final_length: int = 12288
+           ) -> np.ndarray:
+  """Oracle score of token samples; rna_saluki routes through the
+  12288x6 saluki input builder (Enformer.py:279-316)."""
+  if task == 'rna_saluki':
+    onehot = mdlm.transform_samples_saluki(
+        samples, saluki_body, final_length=saluki_final_length)
+  else:
+    onehot = mdlm.transform_samples(samples)
+  return np.asarray(_as_callable(reward_fn)(onehot))
 
 
 def _baseline(diffusion: Diffusion, reward_fn, batch_size: int,
               gen_batch_num: int, sample_M: int, key: jax.Array,
-              skip_best_of_n: bool = False):
+              skip_best_of_n: bool = False, task: str = 'dna',
+              saluki_body=None, saluki_final_length: int = 12288):
   """Unguided baseline + best-of-N (Enformer.py:456-476): draw
   gen_batch_num*sample_M batches, keep the first gen_batch_num as the
   baseline distribution, top-k(all, N/sample_M) as best-of-N."""
@@ -72,7 +81,8 @@ def _baseline(diffusion: Diffusion, reward_fn, batch_size: int,
   for i in range(n_batches):
     key, sub = jax.random.split(key)
     res = sampler(sub)
-    all_preds.append(_score(reward_fn, res.samples))
+    all_preds.append(_score(reward_fn, res.samples, task,
+                             saluki_body, saluki_final_length))
   all_preds = np.concatenate(all_preds)
   baseline = all_preds[:gen_batch_num * batch_size]
   k = max(1, len(all_preds) // sample_M)
@@ -94,6 +104,9 @@ def run_decode(
     tweedie: bool = True,
     seed: int = 44,
     skip_best_of_n: bool = False,
+    task: str = 'dna',
+    saluki_body=None,
+    saluki_final_length: int = 12288,
 ) -> DecodeResult:
   """One controlled_decode run (Enformer.py:399-478 and variants).
 
@@ -108,9 +121,10 @@ def run_decode(
     sampler = diffusion.controlled_sampler(value_fn, batch_size,
                                            sample_M=sample_M)
   elif algo == 'svdd_pm':
-    sampler = diffusion.tweedie_sampler(reward_fn, batch_size,
-                                        sample_M=sample_M,
-                                        tweedie=tweedie)
+    sampler = diffusion.tweedie_sampler(
+        reward_fn, batch_size, sample_M=sample_M, tweedie=tweedie,
+        task=task, saluki_body=saluki_body,
+        saluki_final_length=saluki_final_length)
   elif algo == 'tds':
     sampler = diffusion.tds_sampler(reward_fn, batch_size, alpha=alpha)
   elif algo == 'dps':
@@ -131,7 +145,8 @@ def run_decode(
     guided_key, sub = jax.random.split(guided_key)
     res = sampler(sub)
     samples.append(np.asarray(res.samples))
-    reward_preds.append(_score(reward_fn, res.samples))
+    reward_preds.append(_score(reward_fn, res.samples, task,
+                               saluki_body, saluki_final_length))
     if value_fn is not None and algo in ('svdd_mc',):
       value_preds.append(np.asarray(_as_callable(value_fn)(res.samples)))
     else:
@@ -140,7 +155,8 @@ def run_decode(
 
   baseline, top_k = _baseline(diffusion, reward_fn, batch_size,
                               gen_batch_num, sample_M, base_key,
-                              skip_best_of_n)
+                              skip_best_of_n, task, saluki_body,
+                              saluki_final_length)
   LOGGER.info('Baseline sampling done.')
 
   return DecodeResult(

@@ -341,6 +341,7 @@ class Diffusion:
   def tweedie_sampler(self, reward_fn, batch_size: int, *,
                       sample_M: int = 10, tweedie: bool = True,
                       task: str = 'dna', saluki_body=None,
+                      saluki_final_length: int = 12288,
                       num_steps: int | None = None, eps: float = 1e-5,
                       variables: Any | None = None, mesh: Any = None):
     """SVDD-PM (controlled_sample_tweedie, diffusion_gosai.py:1106-1145).
@@ -353,7 +354,8 @@ class Diffusion:
       return G.svdd_pm_step(denoise, rfn, self.schedule,
                             self.mask_index, repeats=sample_M,
                             tweedie=tweedie, task=task,
-                            saluki_body=saluki_body), ()
+                            saluki_body=saluki_body,
+                            saluki_final_length=saluki_final_length), ()
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=rew_vars,

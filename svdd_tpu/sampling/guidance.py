@@ -140,7 +140,8 @@ def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
                  schedule: Schedule, mask_index: int,
                  repeats: int = 10, tweedie: bool = True,
                  task: str = 'dna',
-                 saluki_body=None) -> StepFn:
+                 saluki_body=None,
+                 saluki_final_length: int = 12288) -> StepFn:
   """SVDD-PM: M candidates -> posterior-mean (Tweedie) reward -> select
   (_ddpm_update_finetune_controlled_twedie, diffusion_gosai.py:1374-1460).
 
@@ -169,7 +170,8 @@ def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
       # feed the saluki 6-channel padded input (diffusion_gosai:1427)
       toks = jnp.where(onehot.sum(-1) > 0, jnp.argmax(onehot, -1),
                        mask_index)
-      onehot = mdlm.transform_samples_saluki(toks, saluki_body)
+      onehot = mdlm.transform_samples_saluki(
+          toks, saluki_body, final_length=saluki_final_length)
     scores = reward_fn(onehot).reshape(b, repeats)
     return aux, _select_best(candidates, scores)
 

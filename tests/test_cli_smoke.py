@@ -70,3 +70,29 @@ def test_decode_cli_loads_torch_value_checkpoint(tmp_path):
   assert 'imported torch value net' in out.stderr + out.stdout
   d = np.load(tmp_path / 'rna-MRL.npz')
   assert d['decoding'].shape == (4,)
+
+
+def test_decode_tweedie_saluki_body_path(tmp_path):
+  """rna_saluki decode with --saluki_body_path: the body .npy flows to
+  the in-scan saluki input builder (replaces the reference's hardcoded
+  absolute paths, Enformer.py:292-300)."""
+  body = np.zeros((8, 6), np.float32)
+  body_path = tmp_path / 'saluki_body.npy'
+  np.save(body_path, body)
+
+  env = dict(os.environ, JAX_PLATFORMS='cpu')
+  env.pop('PALLAS_AXON_POOL_IPS', None)
+  env['PYTHONPATH'] = REPO
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.decode_tweedie',
+       '--task', 'rna_saluki', '--reward_name', 'stability',
+       '--batch_size', '4', '--val_batch_num', '1', '--num_steps', '4',
+       '--length', '12', '--sample_M', '2', '--skip_best_of_n',
+       '--saluki_body_path', str(body_path),
+       '--saluki_final_length', '32',
+       '--out_dir', str(tmp_path)],
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert 'loaded saluki body' in out.stderr + out.stdout
+  d = np.load(tmp_path / 'rna_saluki-stability_tw.npz')
+  assert d['decoding'].shape == (4,)

@@ -132,16 +132,8 @@ def test_saluki_tweedie_decode():
     assert onehot6.shape[-1] == 6
     return onehot6[..., 2].sum(axis=-1)   # count of G channel
 
-  import svdd_tpu.mdlm as m
-  orig = m.transform_samples_saluki
-  # shrink final_length for the test
-  m.transform_samples_saluki = (
-      lambda s, body=None, num_classes=4, final_length=32:
-      orig(s, body, num_classes, 32))
-  try:
-    sampler = model.tweedie_sampler(saluki_reward, 4, sample_M=2,
-                                    task='rna_saluki')
-    x = np.asarray(sampler(jax.random.key(1)).samples)
-  finally:
-    m.transform_samples_saluki = orig
+  sampler = model.tweedie_sampler(saluki_reward, 4, sample_M=2,
+                                  task='rna_saluki',
+                                  saluki_final_length=32)
+  x = np.asarray(sampler(jax.random.key(1)).samples)
   assert (x >= 0).all() and (x < 4).all()
