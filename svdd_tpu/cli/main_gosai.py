@@ -110,11 +110,25 @@ def _sample_eval(cfg: Config, args) -> None:
       LOGGER.info('sample: %s', s)
     return
   sampler = model.sampler(cfg.loader.eval_batch_size)
+  all_seqs = []
   for i in range(cfg.sampling.num_sample_batches):
     res = sampler(jax.random.key(i))
     seqs = gosai.batch_dna_detokenize(np.asarray(res.samples))
+    all_seqs.extend(seqs)
     for s in seqs[:4]:
       LOGGER.info('sample: %s', s)
+  if args.gen_ppl_model:
+    # generative perplexity under an external AR LM (the reference's
+    # compute_generative_perplexity, diffusion_gosai.py:678-737; needs
+    # a local HF cache for the model weights)
+    from svdd_tpu.eval.gen_ppl import compute_generative_perplexity
+    try:
+      ppl = compute_generative_perplexity(
+          all_seqs, eval_model_name_or_path=args.gen_ppl_model,
+          max_length=cfg.model.length)
+      LOGGER.info('val/gen_ppl (%s): %.4f', args.gen_ppl_model, ppl)
+    except RuntimeError as exc:
+      LOGGER.warning('gen_ppl skipped: %s', exc)
 
 
 def main() -> None:
@@ -128,6 +142,10 @@ def main() -> None:
   p.add_argument('--ckpt_dir', default='./checkpoints')
   p.add_argument('--data_dir', default=None)
   p.add_argument('--max_steps', type=int, default=None)
+  p.add_argument('--gen_ppl_model', default=None,
+                 help='HF causal-LM name/path for generative-perplexity '
+                      'eval in sample_eval mode (e.g. gpt2; needs a '
+                      'local HF cache)')
   args = p.parse_args()
 
   cfg = build_config(args)

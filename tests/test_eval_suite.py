@@ -133,3 +133,68 @@ def test_run_decode_npz_roundtrip(tmp_path):
   res.save_npz(str(p))
   d = np.load(p)
   assert set(d.files) == {'decoding', 'baseline'}
+
+
+def test_generative_perplexity_tiny_gpt2():
+  """gen_ppl (diffusion_gosai.py:678-737) against an injected tiny
+  random GPT-2 — validates chunking, NLL masking (non-EOS + first EOS),
+  and the aggregate, without a HF download."""
+  torch = pytest.importorskip('torch')
+  transformers = pytest.importorskip('transformers')
+  import numpy as np
+  from svdd_tpu.eval.gen_ppl import (PerplexityAggregate,
+                                     compute_generative_perplexity)
+
+  cfg = transformers.GPT2Config(
+      vocab_size=32, n_positions=16, n_embd=16, n_layer=1, n_head=2)
+  torch.manual_seed(0)
+  model = transformers.GPT2LMHeadModel(cfg).eval()
+
+  class StubTok:
+    eos_token_id = 0
+    name_or_path = 'tiny'
+
+  rng = np.random.default_rng(0)
+  toks = rng.integers(1, 32, size=(4, 12))
+  toks[:, -2:] = 0                         # EOS tail
+  ppl = compute_generative_perplexity(
+      eval_model=model, tokenizer=StubTok(), token_samples=toks,
+      batch_size=2)
+  assert np.isfinite(ppl) and ppl > 1.0
+
+  # hand-check the mask/aggregate on one row
+  metric = PerplexityAggregate()
+  with torch.no_grad():
+    logits = model(torch.tensor(toks))[0]
+  nll = torch.nn.functional.cross_entropy(
+      logits[:, :-1].transpose(-1, -2), torch.tensor(toks[:, 1:]),
+      reduction='none').numpy()
+  mask = (toks[:, 1:] != 0).astype(float)
+  mask[:, -2] = 1.0                        # first EOS counted
+  metric.update(nll, mask)
+  assert abs(metric.compute() - ppl) < 1e-6
+
+
+def test_generative_perplexity_uniform_model_exact():
+  """A uniform-logits LM must give ppl == vocab_size exactly."""
+  torch = pytest.importorskip('torch')
+  import numpy as np
+  from svdd_tpu.eval.gen_ppl import compute_generative_perplexity
+
+  V = 16
+
+  class UniformLM(torch.nn.Module):
+    def forward(self, x, attention_mask=None):
+      return (torch.zeros(x.shape + (V,)),)
+
+    def eval(self):
+      return self
+
+  class StubTok:
+    eos_token_id = V - 1
+    name_or_path = 'uniform'
+
+  toks = np.arange(1, 9, dtype=np.int64)[None].repeat(2, axis=0)
+  ppl = compute_generative_perplexity(
+      eval_model=UniformLM(), tokenizer=StubTok(), token_samples=toks)
+  assert abs(ppl - V) < 1e-4
