@@ -25,6 +25,12 @@ from svdd_tpu.ops.conv1d import Conv1D
 Array = jnp.ndarray
 
 
+def use_fused_nacdr() -> bool:
+  """Kill-switch for the fused NACDR conv path (SVDD_FUSED_NACDR=0)."""
+  import os
+  return os.environ.get('SVDD_FUSED_NACDR', '1') == '1'
+
+
 def gelu_enformer(x: Array) -> Array:
   """Enformer's sigmoid-approx GELU: x * sigmoid(1.702 x)
   (enformer_pytorch GELU, imported at Enformer.py:8)."""
@@ -97,6 +103,11 @@ class AttentionPool(nn.Module):
       x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
       logits = jnp.pad(logits, ((0, 0), (0, pad), (0, 0)),
                        constant_values=jnp.finfo(x.dtype).min)
+    # NB: a "pairwise softmax == sigmoid blend" rewrite (x1+(x0-x1)*
+    # sig(l0-l1) via strided ::2 slices) was tried and measured 28%
+    # SLOWER end-to-end on v5e: stride-2 slices along L cross the
+    # (8,128) tiling and force relayouts, while XLA already fuses this
+    # softmax chain reasonably. Keep the grouped-softmax form.
     xg = x.reshape(b, -1, p, c)
     lg = logits.reshape(b, -1, p, c)
     attn = jax.nn.softmax(lg, axis=2)
@@ -175,6 +186,25 @@ class ConvBlock(nn.Module):
     conv = Conv1D(self.out_channels, self.kernel_size,
                   dilation=self.dilation, dtype=x.dtype)
     drop = nn.Dropout(self.dropout, deterministic=not train)
+
+    # NACDR eval fast path: norm -> act -> conv collapses into the
+    # fused Pallas conv (ops/fused_conv_pallas.py). Eval BatchNorm is
+    # per-channel affine; recover (scale, shift) EXACTLY by probing the
+    # norm module with 0/1 inputs (keeps the param tree untouched).
+    if (use_fused_nacdr() and self.order == 'NACDR' and self.norm
+        and not train and self.kernel_size > 1 and self.dilation == 1):
+      c_in = x.shape[-1]
+      probe = jnp.concatenate(
+          [jnp.zeros((1, 1, c_in), jnp.float32),
+           jnp.ones((1, 1, c_in), jnp.float32)], axis=1)
+      bn = norm(probe, train=False)
+      shift, scale = bn[0, 0], bn[0, 1] - bn[0, 0]
+      y = conv(x, prologue=(scale, shift, self.act_func))
+      if self.residual:
+        y = y + x_input                      # D is inert at eval
+      return Pool(self.pool_func, self.pool_size,
+                  in_channels=self.out_channels)(y)
+
     for name in self.order:
       if name == 'C':
         x = conv(x)

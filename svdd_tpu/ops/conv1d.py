@@ -85,7 +85,13 @@ def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
 
 class Conv1D(nn.Module):
   """Drop-in for flax nn.Conv(features, (k,), kernel_dilation=(d,),
-  padding='SAME') with identical parameter shapes/names."""
+  padding='SAME') with identical parameter shapes/names.
+
+  ``prologue=(scale, shift, act_name)`` computes
+  conv(act(x*scale + shift)) through the fused Pallas kernel
+  (ops/fused_conv_pallas.py) — the NACDR ConvBlock fast path that
+  avoids materializing the norm/act output and the im2col buffer.
+  """
   features: int
   kernel_size: int
   dilation: int = 1
@@ -93,7 +99,7 @@ class Conv1D(nn.Module):
   dtype: jnp.dtype | None = None
 
   @nn.compact
-  def __call__(self, x: Array) -> Array:
+  def __call__(self, x: Array, prologue: tuple | None = None) -> Array:
     dtype = self.dtype or x.dtype
     kernel = self.param(
         'kernel', nn.initializers.lecun_normal(),
@@ -101,6 +107,12 @@ class Conv1D(nn.Module):
     bias = (self.param('bias', nn.initializers.zeros,
                        (self.features,)) if self.use_bias else None)
     x = x.astype(dtype)
+    if prologue is not None:
+      assert self.dilation == 1 and bias is not None
+      scale, shift, act_name = prologue
+      from svdd_tpu.ops.fused_conv_pallas import fused_conv1d
+      return fused_conv1d(x, kernel.astype(dtype), bias.astype(dtype),
+                          scale, shift, act=act_name)
     return conv1d_shifted(
         x, kernel.astype(dtype),
         None if bias is None else bias.astype(dtype),

@@ -125,6 +125,31 @@ class Trainer:
     self.train_step = jax.jit(make_train_step(self.model, self.config),
                               donate_argnums=(0,))
     self.eval_step = jax.jit(make_eval_step(self.model, self.config))
+    self._mgr = None
+
+  def _manager(self):
+    """Persistent ASYNC orbax CheckpointManager: saves return
+    immediately and write in a background thread (the reference's
+    Lightning callbacks block the step loop); multi-host saves
+    coordinate automatically through orbax's multiprocess barrier when
+    jax.distributed is initialized."""
+    if self._mgr is None:
+      import orbax.checkpoint as ocp
+      self._mgr = ocp.CheckpointManager(
+          os.path.abspath(self.ckpt_dir),
+          options=ocp.CheckpointManagerOptions(
+              max_to_keep=3, enable_async_checkpointing=True))
+    return self._mgr
+
+  def save_async(self, state: TrainState,
+                 iterator_state: dict | None = None) -> None:
+    import orbax.checkpoint as ocp
+    self._manager().save(int(state.step), args=ocp.args.Composite(
+        state=ocp.args.PyTreeSave(state_to_tree(state, iterator_state))))
+
+  def finalize_checkpoints(self) -> None:
+    if self._mgr is not None:
+      self._mgr.wait_until_finished()
 
   def init_or_restore(self, rng: jax.Array, train_iter=None) -> TrainState:
     state = init_state(self.model, self.config, rng)
@@ -182,8 +207,9 @@ class Trainer:
         nll = self.evaluate(state, valid_iter)
         LOGGER.info('step %d val/nll %.4f', step, nll)
       if self.ckpt_dir and step % ckpt_every == 0:
-        save_checkpoint(self.ckpt_dir, state,
+        self.save_async(state,
                         getattr(train_iter, 'state_dict', lambda: {})())
+    self.finalize_checkpoints()
     return state
 
   def evaluate(self, state: TrainState, valid_iter,

@@ -106,6 +106,16 @@ def test_checkpoint_roundtrip(cfg, tmp_path):
       np.asarray(jax.tree.leaves(state.params)[0]), rtol=1e-6)
   assert train_iter2.counter == train_iter.counter
 
+  # async manager path (the fit loop's non-blocking saves): one more
+  # step, save through the persistent manager, restore the newer step
+  batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+  state, _ = trainer.train_step(state, batch)
+  trainer.save_async(state, train_iter.state_dict())
+  trainer.finalize_checkpoints()
+  restored2 = train_diff.restore_checkpoint(
+      str(tmp_path), train_diff.init_state(model, cfg, jax.random.key(2)))
+  assert int(restored2.step) == 4
+
 
 def test_iterator_resume_mid_epoch():
   ds = GosaiDataset('train', length=16)
