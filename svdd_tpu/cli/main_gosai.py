@@ -65,7 +65,7 @@ def _train(cfg: Config, args) -> None:
   num_shards, shard_index = jax.process_count(), jax.process_index()
   train_it, valid_it, _ = gosai.get_dataloaders(
       cfg, num_shards=num_shards, shard_index=shard_index,
-      data_dir=args.data_dir)
+      data_dir=args.data_dir, shard_data=args.shard_data)
   model = Diffusion(cfg, rng=jax.random.key(cfg.seed))
   trainer = train_diff.Trainer(model, cfg, mesh=mesh,
                                ckpt_dir=args.ckpt_dir)
@@ -142,6 +142,10 @@ def main() -> None:
   p.add_argument('--ckpt_dir', default='./checkpoints')
   p.add_argument('--data_dir', default=None)
   p.add_argument('--max_steps', type=int, default=None)
+  p.add_argument('--shard_data', action='store_true', default=False,
+                 help='each host reads only its contiguous 1/N row '
+                      'shard of the CSV (native sharded reader) '
+                      'instead of holding the full dataset per rank')
   p.add_argument('--gen_ppl_model', default=None,
                  help='HF causal-LM name/path for generative-perplexity '
                       'eval in sample_eval mode (e.g. gpt2; needs a '

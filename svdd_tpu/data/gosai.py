@@ -87,14 +87,17 @@ class GosaiDataset:
 
   def __init__(self, split: str = 'train', length: int = 200,
                data_dir: Optional[str] = None,
-               synthetic_size: Optional[int] = None):
+               synthetic_size: Optional[int] = None,
+               row_offset: int = 0, row_limit: Optional[int] = None):
+    """``row_offset``/``row_limit`` select a contiguous row shard so a
+    multi-host job can load only 1/N of the file per host (the
+    reference always loads everything on every rank,
+    dataloader_gosai.py:76)."""
     data_dir = data_dir or DATA_DIR
     path = os.path.join(data_dir, f'gosai_{split}.csv')
     if os.path.exists(path):
-      import pandas as pd
-      df = pd.read_csv(path)
-      self.seqs = dna_tokenize_batch(df['seq'].tolist())
-      self.clss = df[['hepg2', 'k562', 'sknsh']].to_numpy(np.float32)
+      self.seqs, self.clss = self._read_csv(path, length, row_offset,
+                                            row_limit)
       self.synthetic = False
     else:
       n = synthetic_size or {'train': 4096, 'val': 512,
@@ -103,6 +106,27 @@ class GosaiDataset:
       self.seqs, self.clss = d['seqs'], d['clss']
       self.synthetic = True
     self.length = self.seqs.shape[1]
+
+  @staticmethod
+  def _read_csv(path: str, length: int, row_offset: int = 0,
+                row_limit: Optional[int] = None):
+    """Native one-pass reader (seq + 3 class columns, row-range
+    sharded; svdd_tpu/native/dna_kernels.cc csv_read_gosai); pandas
+    fallback when the shared library is unavailable."""
+    max_rows = row_limit if row_limit is not None else 1 << 22
+    try:
+      from svdd_tpu.native import bindings
+      return bindings.csv_read_gosai(
+          path, 'seq', ['hepg2', 'k562', 'sknsh'], length,
+          row_offset=row_offset, max_rows=max_rows)
+    except Exception:                              # noqa: BLE001
+      import pandas as pd
+      df = pd.read_csv(path, skiprows=range(1, row_offset + 1),
+                       nrows=row_limit)
+      keep = df['seq'].str.len() == length
+      df = df[keep]
+      return (dna_tokenize_batch(df['seq'].tolist()),
+              df[['hepg2', 'k562', 'sknsh']].to_numpy(np.float32))
 
   def __len__(self):
     return len(self.seqs)
@@ -177,9 +201,15 @@ class FaultTolerantIterator:
 
 def get_dataloaders(config, *, num_shards: int = 1, shard_index: int = 0,
                     skip_train: bool = False, skip_valid: bool = False,
-                    data_dir: Optional[str] = None):
+                    data_dir: Optional[str] = None,
+                    shard_data: bool = False):
   """(train, valid, test) iterators with global-batch divisibility
-  checks (dataloader_gosai.py:102-165)."""
+  checks (dataloader_gosai.py:102-165).
+
+  ``shard_data=True`` splits the CSV into contiguous row ranges so each
+  host reads and holds only 1/num_shards of the data (native sharded
+  reader); default False keeps the reference's semantics (every rank
+  holds the full dataset, iterator stride-shards the indices)."""
   if config.loader.global_batch_size % num_shards != 0:
     raise ValueError(
         f'Train batch size {config.loader.global_batch_size} not '
@@ -193,6 +223,23 @@ def get_dataloaders(config, *, num_shards: int = 1, shard_index: int = 0,
   length = config.model.length
 
   def make(split, bs, shuffle):
+    if shard_data and num_shards > 1:
+      path = os.path.join(data_dir or DATA_DIR, f'gosai_{split}.csv')
+      total = None
+      if os.path.exists(path):
+        try:
+          from svdd_tpu.native import bindings
+          total = bindings.csv_count_rows(path)
+        except Exception:                          # noqa: BLE001
+          total = None
+      if total is not None and total > 0:
+        share = total // num_shards
+        ds = GosaiDataset(split, length=length, data_dir=data_dir,
+                          row_offset=share * shard_index,
+                          row_limit=share)
+        # rows are pre-sharded; iterate the local shard unsharded
+        return FaultTolerantIterator(ds, bs, shuffle=shuffle,
+                                     seed=config.seed + shard_index)
     ds = GosaiDataset(split, length=length, data_dir=data_dir)
     return FaultTolerantIterator(
         ds, bs, shuffle=shuffle, seed=config.seed,

@@ -98,3 +98,32 @@ def csv_read_seq_column(path: str, column: str, seq_len: int,
   _lib.dna_tokenize(blob.tobytes(), rows, seq_len,
                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
   return out.reshape(rows, seq_len)
+
+
+def csv_count_rows(path: str) -> int:
+  """Data rows in a CSV (excluding header) — for shard planning."""
+  _lib.csv_count_rows.restype = ctypes.c_int64
+  return int(_lib.csv_count_rows(path.encode()))
+
+
+def csv_read_gosai(path: str, seq_col: str, cls_cols: List[str],
+                   seq_len: int, row_offset: int = 0,
+                   max_rows: int = 1 << 22):
+  """One-pass sharded Gosai read: (tokens (R, L) int32,
+  clss (R, n_cls) float32) for rows [row_offset, row_offset+max_rows)."""
+  n_cls = len(cls_cols)
+  seq_buf = ctypes.create_string_buffer(max_rows * seq_len)
+  cls_buf = np.empty(max_rows * n_cls, np.float32)
+  _lib.csv_read_gosai.restype = ctypes.c_int64
+  rows = _lib.csv_read_gosai(
+      path.encode(), seq_col.encode(), ','.join(cls_cols).encode(),
+      seq_len, row_offset, max_rows, seq_buf,
+      cls_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_cls)
+  if rows < 0:
+    raise IOError(f'failed to parse {path} ({seq_col}, {cls_cols})')
+  blob = np.frombuffer(seq_buf.raw[:rows * seq_len], np.uint8)
+  toks = np.empty(rows * seq_len, np.int32)
+  _lib.dna_tokenize(blob.tobytes(), rows, seq_len,
+                    toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+  return (toks.reshape(rows, seq_len),
+          cls_buf[:rows * n_cls].reshape(rows, n_cls).copy())

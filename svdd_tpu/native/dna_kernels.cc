@@ -123,4 +123,113 @@ int64_t csv_read_seq_column(const char* path, const char* column,
   return rows;
 }
 
+
+// ---------------------------------------------------------------------------
+// Row count (data rows, excluding header). For computing contiguous
+// per-host shards before a sharded read.
+// ---------------------------------------------------------------------------
+int64_t csv_count_rows(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int64_t lines = 0;
+  char buf[1 << 16];
+  size_t got;
+  char last = '\n';
+  while ((got = fread(buf, 1, sizeof(buf), f)) > 0) {
+    for (size_t i = 0; i < got; ++i) {
+      if (buf[i] == '\n') ++lines;
+    }
+    last = buf[got - 1];
+  }
+  fclose(f);
+  if (last != '\n') ++lines;        // unterminated final line
+  return lines > 0 ? lines - 1 : 0; // minus header
+}
+
+// ---------------------------------------------------------------------------
+// One-pass Gosai reader: sequence column + n_cls float columns, with a
+// contiguous row range [row_offset, row_offset + max_rows) for sharded
+// multi-host loading (each host reads only its slice of the file).
+// cls_cols: comma-separated column names. Rows whose sequence field is
+// not exactly seq_len chars are skipped (consistently for both
+// outputs). Returns rows parsed or -1 on error.
+// ---------------------------------------------------------------------------
+int64_t csv_read_gosai(const char* path, const char* seq_col,
+                       const char* cls_cols, int64_t seq_len,
+                       int64_t row_offset, int64_t max_rows,
+                       char* seq_out, float* cls_out, int32_t n_cls) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  char* line = nullptr;
+  size_t cap = 0;
+  if (getline(&line, &cap, f) <= 0) { fclose(f); free(line); return -1; }
+
+  // resolve column indices from the header
+  int seq_idx = -1;
+  int cls_idx[16];
+  for (int i = 0; i < n_cls && i < 16; ++i) cls_idx[i] = -1;
+  {
+    // split requested class names
+    char want[512];
+    strncpy(want, cls_cols, sizeof(want) - 1);
+    want[sizeof(want) - 1] = 0;
+    char* names[16];
+    int n_names = 0;
+    char* save0 = nullptr;
+    for (char* t = strtok_r(want, ",", &save0); t && n_names < 16;
+         t = strtok_r(nullptr, ",", &save0)) {
+      names[n_names++] = t;
+    }
+    if (n_names != n_cls) { fclose(f); free(line); return -1; }
+    int idx = 0;
+    char* save = nullptr;
+    for (char* tok = strtok_r(line, ",\r\n", &save); tok;
+         tok = strtok_r(nullptr, ",\r\n", &save), ++idx) {
+      if (strcmp(tok, seq_col) == 0) seq_idx = idx;
+      for (int i = 0; i < n_cls; ++i) {
+        if (strcmp(tok, names[i]) == 0) cls_idx[i] = idx;
+      }
+    }
+    if (seq_idx < 0) { fclose(f); free(line); return -1; }
+    for (int i = 0; i < n_cls; ++i) {
+      if (cls_idx[i] < 0) { fclose(f); free(line); return -1; }
+    }
+  }
+
+  // skip to the shard's first row
+  for (int64_t i = 0; i < row_offset; ++i) {
+    if (getline(&line, &cap, f) <= 0) { fclose(f); free(line); return 0; }
+  }
+
+  int64_t rows = 0;
+  while (rows < max_rows && getline(&line, &cap, f) > 0) {
+    // split the row once, remembering every needed field
+    const char* seq_field = nullptr;
+    const char* cls_field[16] = {nullptr};
+    int idx = 0;
+    char* save = nullptr;
+    for (char* tok = strtok_r(line, ",\r\n", &save); tok;
+         tok = strtok_r(nullptr, ",\r\n", &save), ++idx) {
+      if (idx == seq_idx) seq_field = tok;
+      for (int i = 0; i < n_cls; ++i) {
+        if (idx == cls_idx[i]) cls_field[i] = tok;
+      }
+    }
+    if (!seq_field || (int64_t)strlen(seq_field) != seq_len) continue;
+    bool ok = true;
+    for (int i = 0; i < n_cls; ++i) {
+      if (!cls_field[i]) { ok = false; break; }
+    }
+    if (!ok) continue;
+    memcpy(seq_out + rows * seq_len, seq_field, seq_len);
+    for (int i = 0; i < n_cls; ++i) {
+      cls_out[rows * n_cls + i] = strtof(cls_field[i], nullptr);
+    }
+    ++rows;
+  }
+  fclose(f);
+  free(line);
+  return rows;
+}
+
 }  // extern "C"

@@ -170,3 +170,77 @@ def test_timed_value_training(cfg):
     state, loss = trainer._train_step(state, None)
     losses.append(float(loss))
   assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_native_sharded_csv_reader(tmp_path):
+  """csv_read_gosai (one-pass native reader): full read matches the
+  pandas path, row-range shards are disjoint and cover the file."""
+  import csv as _csv
+  rng = np.random.default_rng(0)
+  L, N = 12, 23
+  alpha = np.array(list('ACGT'))
+  seqs = [''.join(alpha[rng.integers(0, 4, L)]) for _ in range(N)]
+  vals = rng.normal(size=(N, 3)).astype(np.float32)
+  path = tmp_path / 'gosai_train.csv'
+  with open(path, 'w', newline='') as f:
+    w = _csv.writer(f)
+    w.writerow(['id', 'seq', 'hepg2', 'k562', 'sknsh'])
+    for i in range(N):
+      w.writerow([i, seqs[i], *[f'{v:.6f}' for v in vals[i]]])
+
+  from svdd_tpu.native import bindings
+  toks, clss = bindings.csv_read_gosai(
+      str(path), 'seq', ['hepg2', 'k562', 'sknsh'], L)
+  assert toks.shape == (N, L) and clss.shape == (N, 3)
+  from svdd_tpu.data.gosai import dna_tokenize_batch
+  np.testing.assert_array_equal(toks, dna_tokenize_batch(seqs))
+  np.testing.assert_allclose(clss, vals, atol=1e-5)
+  assert bindings.csv_count_rows(str(path)) == N
+
+  # contiguous shards: disjoint, ordered, covering
+  t0, c0 = bindings.csv_read_gosai(
+      str(path), 'seq', ['hepg2', 'k562', 'sknsh'], L,
+      row_offset=0, max_rows=10)
+  t1, c1 = bindings.csv_read_gosai(
+      str(path), 'seq', ['hepg2', 'k562', 'sknsh'], L,
+      row_offset=10, max_rows=13)
+  np.testing.assert_array_equal(np.concatenate([t0, t1]), toks)
+  np.testing.assert_allclose(np.concatenate([c0, c1]), clss)
+
+
+def test_dataset_row_sharding(tmp_path, cfg):
+  """GosaiDataset(row_offset,row_limit) + get_dataloaders(shard_data):
+  two hosts hold disjoint halves."""
+  import csv as _csv
+  rng = np.random.default_rng(1)
+  L, N = cfg.model.length, 32
+  alpha = np.array(list('ACGT'))
+  path = tmp_path / 'gosai_train.csv'
+  with open(path, 'w', newline='') as f:
+    w = _csv.writer(f)
+    w.writerow(['seq', 'hepg2', 'k562', 'sknsh'])
+    for i in range(N):
+      w.writerow([''.join(alpha[rng.integers(0, 4, L)]),
+                  float(i), 0.0, 0.0])
+
+  from svdd_tpu.data.gosai import GosaiDataset
+  half0 = GosaiDataset('train', length=L, data_dir=str(tmp_path),
+                       row_offset=0, row_limit=16)
+  half1 = GosaiDataset('train', length=L, data_dir=str(tmp_path),
+                       row_offset=16, row_limit=16)
+  assert len(half0) == 16 and len(half1) == 16
+  assert set(half0.clss[:, 0]) == set(range(16))
+  assert set(half1.clss[:, 0]) == set(range(16, 32))
+
+  from svdd_tpu.data import gosai as G
+  cfg.loader.global_batch_size = 8
+  cfg.loader.eval_global_batch_size = 8
+  it0, _, _ = G.get_dataloaders(cfg, num_shards=2, shard_index=0,
+                                skip_valid=True, data_dir=str(tmp_path),
+                                shard_data=True)
+  it1, _, _ = G.get_dataloaders(cfg, num_shards=2, shard_index=1,
+                                skip_valid=True, data_dir=str(tmp_path),
+                                shard_data=True)
+  seen0 = set(np.asarray(next(iter(it0))['clss'])[:, 0])
+  seen1 = set(np.asarray(next(iter(it1))['clss'])[:, 0])
+  assert seen0.isdisjoint(seen1)
