@@ -98,3 +98,24 @@ def test_batch_sharding_layout():
   shard_shapes = [s.data.shape for s in
                   sharded['seqs'].addressable_shards]
   assert all(s == (2, 8) for s in shard_shapes)
+
+
+def test_sequence_parallel_attention_matches_local():
+  """sp_mha (L sharded over 'model', K/V all-gathered over ICI) must
+  equal single-device attention, causal and non-causal."""
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops.attention import mha, sp_mha
+  from svdd_tpu.parallel import mesh as M
+
+  mesh = M.make_mesh(data=2, model=4)
+  B, L, H, D = 2, 32, 2, 8
+  q = jax.random.normal(jax.random.key(0), (B, L, H, D))
+  k = jax.random.normal(jax.random.key(1), (B, L, H, D))
+  v = jax.random.normal(jax.random.key(2), (B, L, H, D))
+  for causal in (False, True):
+    ref = mha(q, k, v, causal=causal)
+    with mesh:
+      out = sp_mha(q, k, v, mesh, axis='model', causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
