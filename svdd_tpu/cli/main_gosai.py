@@ -58,9 +58,24 @@ def _print_config(cfg: Config) -> None:
 
 def _train(cfg: Config, args) -> None:
   mesh = None
-  if len(jax.devices()) > 1:
+  n_dev = len(jax.devices())
+  if n_dev > 1:
     from svdd_tpu.parallel import mesh as M
-    mesh = M.make_mesh()
+    # the per-host batch must divide the data axis; clamp to the
+    # largest usable device count rather than crash on tiny batches
+    per_host = cfg.loader.global_batch_size // jax.process_count()
+    model_axis = max(1, cfg.parallel.model_axis)
+    data_axis = n_dev // model_axis
+    while data_axis > 1 and per_host % data_axis:
+      data_axis -= 1
+    used = data_axis * model_axis
+    if used < n_dev:
+      LOGGER.warning(
+          'per-host batch %d not divisible by %d devices; using a '
+          '%dx%d mesh on %d of them', per_host, n_dev, data_axis,
+          model_axis, used)
+    mesh = M.make_mesh(data=data_axis, model=model_axis,
+                       devices=jax.devices()[:used])
     LOGGER.info('mesh: %s', mesh)
   num_shards, shard_index = jax.process_count(), jax.process_index()
   train_it, valid_it, _ = gosai.get_dataloaders(

@@ -96,3 +96,65 @@ def test_decode_tweedie_saluki_body_path(tmp_path):
   assert 'loaded saluki body' in out.stderr + out.stdout
   d = np.load(tmp_path / 'rna_saluki-stability_tw.npz')
   assert d['decoding'].shape == (4,)
+
+
+def test_decode_classfier_cli_smoke(tmp_path):
+  _run('svdd_tpu.cli.decode_classfier', ['--guidance_scale', '5'],
+       tmp_path)
+  d = np.load(tmp_path / 'rna-MRL-classfier.npz')
+  assert set(d.files) == {'decoding', 'baseline'}
+
+
+def test_value_train_cli_smoke(tmp_path):
+  """cli.train: a few MC-target iters, save, then cli.eval loads the
+  checkpoint and reports pearson."""
+  env = dict(os.environ, JAX_PLATFORMS='cpu')
+  env.pop('PALLAS_AXON_POOL_IPS', None)
+  env['PYTHONPATH'] = REPO
+  save = tmp_path / 'value_ckpt'
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.train',
+       '--task', 'rna', '--reward_name', 'MRL', '--batch_size', '4',
+       '--num_steps', '4', '--length', '12', '--max_iters', '3',
+       '--eval_every', '2', '--save_path', str(save)],
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert save.exists()
+
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.eval',
+       '--task', 'rna', '--reward_name', 'MRL', '--batch_size', '4',
+       '--num_steps', '4', '--length', '12', '--val_batch_num', '2',
+       '--load_checkpoint_path', str(save)],
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert 'final pearson' in out.stderr + out.stdout
+
+
+def test_main_gosai_cli_smoke(tmp_path):
+  """main_gosai: 3 train steps with checkpointing, then ppl_eval
+  restores and reports val/nll."""
+  env = dict(os.environ, JAX_PLATFORMS='cpu')
+  env.pop('PALLAS_AXON_POOL_IPS', None)
+  env['PYTHONPATH'] = REPO
+  ckpt = tmp_path / 'ckpt'
+  common = ['--task', 'rna', '--ckpt_dir', str(ckpt), '--set',
+            'model.length=12', 'sampling.steps=4',
+            'model.hidden_dim=16', 'model.num_cnn_stacks=1',
+            'loader.global_batch_size=8',
+            'loader.eval_global_batch_size=8',
+            'loader.batch_size=8', 'loader.eval_batch_size=8',
+            'checkpointing.every_n_steps=2',
+            'eval.val_check_interval=100']
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.main_gosai',
+       '--mode', 'train', '--max_steps', '3'] + common,
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.main_gosai',
+       '--mode', 'ppl_eval'] + common,
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert 'val/nll' in out.stderr + out.stdout
