@@ -30,8 +30,32 @@ import jax.numpy as jnp
 
 from svdd_tpu.config import Config
 from svdd_tpu.ops.conv1d import Conv1D
+from svdd_tpu.ops import cnn_layer_pallas as _fused
 
 Array = jnp.ndarray
+
+
+class _LNParams(nn.Module):
+  """Param-holder with nn.LayerNorm's exact tree ({scale, bias})."""
+
+  @nn.compact
+  def __call__(self, c: int):
+    return (self.param('scale', nn.initializers.ones, (c,)),
+            self.param('bias', nn.initializers.zeros, (c,)))
+
+
+class _ConvParams(nn.Module):
+  """Param-holder with ops.conv1d.Conv1D's exact tree
+  ({kernel (K, Cin, Cout), bias (Cout,)})."""
+  features: int
+  kernel_size: int
+
+  @nn.compact
+  def __call__(self, c_in: int):
+    return (self.param('kernel', nn.initializers.lecun_normal(),
+                       (self.kernel_size, c_in, self.features)),
+            self.param('bias', nn.initializers.zeros,
+                       (self.features,)))
 
 
 class GaussianFourierProjection(nn.Module):
@@ -101,18 +125,30 @@ class CNNModel(nn.Module):
                  for _ in range(mcfg.num_cnn_stacks)]
     assert len(dilations) == num_layers
 
+    # Each layer is relu(conv(LN(x + bias_row))) + x — computed through
+    # one fused Pallas kernel at decode time (ops/cnn_layer_pallas.py;
+    # at the SVDD-PM B*M shape the XLA im2col path is HBM-bound).
+    # Params live in holder modules so the fused/reference paths share
+    # one tree with the historical nn.LayerNorm / Conv1D names.
     for i, dilation in enumerate(dilations):
-      h = nn.Dropout(mcfg.dropout, deterministic=not train)(feat)
-      h = h + nn.Dense(hidden, dtype=dtype, name=f'time_{i}')(
-          time_emb)[:, None, :]
+      ln_scale, ln_bias = _LNParams(name=f'norm_{i}')(hidden)
+      kernel, conv_bias = _ConvParams(
+          features=hidden, kernel_size=9, name=f'conv_{i}')(hidden)
+      bias_row = nn.Dense(hidden, dtype=dtype, name=f'time_{i}')(
+          time_emb)
       if cls_emb is not None:
-        h = h + nn.Dense(hidden, dtype=dtype, name=f'cls_{i}')(
-            cls_emb)[:, None, :]
-      h = nn.LayerNorm(dtype=dtype, name=f'norm_{i}')(h)
-      h = jax.nn.relu(
-          Conv1D(hidden, 9, dilation=dilation, dtype=dtype,
-                 name=f'conv_{i}')(h))
-      feat = h + feat
+        bias_row = bias_row + nn.Dense(
+            hidden, dtype=dtype, name=f'cls_{i}')(cls_emb)
+      dropout_active = train and mcfg.dropout > 0
+      if not dropout_active:
+        feat = _fused.cnn_layer_fused(
+            feat, bias_row, ln_scale, ln_bias, kernel.astype(dtype),
+            conv_bias, dilation=dilation)
+      else:
+        h = nn.Dropout(mcfg.dropout, deterministic=False)(feat)
+        feat = _fused.cnn_layer_reference(
+            h, bias_row, ln_scale, ln_bias, kernel.astype(dtype),
+            conv_bias, dilation=dilation, residual=feat)
 
     feat = Conv1D(hidden, 1, dtype=dtype, name='final_0')(feat)
     feat = jax.nn.relu(feat)

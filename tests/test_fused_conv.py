@@ -63,3 +63,74 @@ def test_convblock_nacdr_fast_path_matches_unfused():
     os.environ.pop('SVDD_FUSED_NACDR')
   np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                              atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize('dilation', [1, 4, 16, 64])
+def test_cnn_layer_pallas_interpret_matches_reference(dilation):
+  """Fused denoiser layer (bias+LN+dilated conv+relu+residual) in
+  interpret mode vs the jnp reference, incl. dead-tap dilations."""
+  from svdd_tpu.ops.cnn_layer_pallas import (cnn_layer_pallas,
+                                             cnn_layer_reference)
+  n, l, c, k = 8, 50, 128, 9
+  x = _rand(0, (n, l, c))
+  br = _rand(1, (n, c), 0.5)
+  g = 1.0 + 0.1 * _rand(2, (c,))
+  b = 0.1 * _rand(3, (c,))
+  w = _rand(4, (k, c, c), 0.05)
+  cb = 0.1 * _rand(5, (c,))
+  ref = cnn_layer_reference(x, br, g, b, w, cb, dilation)
+  out = cnn_layer_pallas(x, br, g, b, w, cb, dilation=dilation,
+                         interpret=True)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=1e-4, rtol=1e-4)
+
+
+def test_cnn_layer_reference_matches_module_semantics():
+  """cnn_layer_reference == the historical per-op CNN layer body
+  (bias add -> LayerNorm(eps 1e-6) -> dilated conv -> relu -> +x)."""
+  import flax.linen as nn
+  from svdd_tpu.ops.cnn_layer_pallas import cnn_layer_reference
+  from svdd_tpu.ops.conv1d import conv1d_shifted
+  n, l, c, k, dil = 4, 30, 128, 9, 4
+  x = _rand(0, (n, l, c))
+  br = _rand(1, (n, c), 0.5)
+  g = 1.0 + 0.1 * _rand(2, (c,))
+  b = 0.1 * _rand(3, (c,))
+  w = _rand(4, (k, c, c), 0.05)
+  cb = 0.1 * _rand(5, (c,))
+  h = x + br[:, None, :]
+  ln = nn.LayerNorm(use_fast_variance=False)
+  h = ln.apply({'params': {'scale': g, 'bias': b}}, h)
+  want = jax.nn.relu(conv1d_shifted(h, w, cb, dil)) + x
+  got = cnn_layer_reference(x, br, g, b, w, cb, dil)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-5, rtol=1e-5)
+
+
+def test_cnn_layer_fused_custom_vjp_matches_reference_grad():
+  """DPS/classifier guidance backprop through the denoiser: the fused
+  kernel's custom VJP must equal the reference gradient."""
+  from svdd_tpu.ops.cnn_layer_pallas import (_fused_core,
+                                             cnn_layer_reference)
+  n, l, c, k, dil = 8, 20, 128, 9, 4
+  x = _rand(0, (n, l, c))
+  br = _rand(1, (n, c), 0.5)
+  g = 1.0 + 0.1 * _rand(2, (c,))
+  b = 0.1 * _rand(3, (c,))
+  w = _rand(4, (k, c, c), 0.05)
+  cb = 0.1 * _rand(5, (c,))
+  probe = _rand(6, (n, l, c))
+
+  def loss_fused(x, w):
+    return jnp.sum(_fused_core(x, br, g, b, w, cb, dil, 1e-6, True)
+                   * probe)
+
+  def loss_ref(x, w):
+    return jnp.sum(cnn_layer_reference(x, br, g, b, w, cb, dil) * probe)
+
+  gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+  gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+  np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                             atol=1e-4, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                             atol=1e-4, rtol=1e-4)
