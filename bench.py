@@ -78,13 +78,25 @@ def build_workload(batch_size: int, sample_m: int, steps: int,
     onehot = mdlm.transform_samples(tokens)
     return value_module.apply(variables, onehot)
 
+  # oracle == the same Enformer net for the one-hot-scoring algorithms
+  # (tweedie / TDS / DPS / classifier all consume (B, L, 4) one-hots)
+  def reward_apply(variables, onehot):
+    return value_module.apply(variables, onehot)
+
   if algo == 'svdd_pm':
-    # oracle == the same Enformer net; Tweedie path (reference
-    # decode_tweedie.py): +1 denoiser fwd on (B*M) per step
-    def reward_apply(variables, onehot):
-      return value_module.apply(variables, onehot)
+    # Tweedie path (reference decode_tweedie.py): +1 denoiser fwd on
+    # (B*M) per step
     return model.tweedie_sampler((reward_apply, value_vars),
                                  batch_size, sample_M=sample_m)
+  if algo == 'tds':
+    return model.tds_sampler((reward_apply, value_vars), batch_size,
+                             alpha=0.5)
+  if algo == 'dps':
+    return model.dps_sampler((reward_apply, value_vars), batch_size,
+                             guidance_scale=1.0)
+  if algo == 'classifier':
+    return model.classifier_sampler((reward_apply, value_vars),
+                                    batch_size, guidance_scale=1.0)
   sampler = model.controlled_sampler((value_apply, value_vars),
                                      batch_size, sample_M=sample_m)
   return sampler
@@ -108,9 +120,11 @@ def main() -> None:
   p.add_argument('--length', type=int, default=200)
   p.add_argument('--iters', type=int, default=3)
   p.add_argument('--algo', default='svdd_mc',
-                 choices=['svdd_mc', 'svdd_pm'],
+                 choices=['svdd_mc', 'svdd_pm', 'tds', 'dps',
+                          'classifier'],
                  help='svdd_pm adds a second denoiser pass per step '
-                      '(decode_tweedie.py path)')
+                      '(decode_tweedie.py path); tds/dps/classifier '
+                      'bench the baseline guided samplers')
   p.add_argument('--small', action='store_true',
                  help='tiny CPU self-test preset')
   args = p.parse_args()
