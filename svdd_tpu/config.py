@@ -81,6 +81,13 @@ class TrainingConfig:
   importance_sampling: bool = False
   sampling_eps: float = 1e-3
   change_of_variables: bool = False
+  # Gradient accumulation (reference: Lightning accumulate_grad_batches
+  # derived from the global batch, configs_gosai/config_gosai.yaml:75).
+  # The per-step batch is split into this many microbatches; grads are
+  # averaged before ONE optimizer update. Also the supported route to
+  # effective batches >64 on the current TPU runtime (whose LLO
+  # compiler SIGILLs on the fused 20-layer CNN backward above B=64).
+  accum_steps: int = 1
 
 
 @dataclass

@@ -22,6 +22,7 @@ Architecture parity notes:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -130,6 +131,12 @@ class CNNModel(nn.Module):
     # at the SVDD-PM B*M shape the XLA im2col path is HBM-bound).
     # Params live in holder modules so the fused/reference paths share
     # one tree with the historical nn.LayerNorm / Conv1D names.
+    #
+    # SVDD_REMAT_CNN_LAYERS=1 wraps each layer body in jax.checkpoint:
+    # the backward of the 20-layer composition at B>64 SIGILLs the TPU
+    # LLO compiler (one giant fusion); per-layer remat restores sane
+    # fusion boundaries and cuts activation memory.
+    remat = os.environ.get('SVDD_REMAT_CNN_LAYERS', '0') == '1'
     for i, dilation in enumerate(dilations):
       ln_scale, ln_bias = _LNParams(name=f'norm_{i}')(hidden)
       kernel, conv_bias = _ConvParams(
@@ -141,14 +148,20 @@ class CNNModel(nn.Module):
             hidden, dtype=dtype, name=f'cls_{i}')(cls_emb)
       dropout_active = train and mcfg.dropout > 0
       if not dropout_active:
-        feat = _fused.cnn_layer_fused(
-            feat, bias_row, ln_scale, ln_bias, kernel.astype(dtype),
-            conv_bias, dilation=dilation)
+        body = lambda *a, _d=dilation: _fused.cnn_layer_fused(
+            *a, dilation=_d)
+        if remat:
+          body = jax.checkpoint(body)
+        feat = body(feat, bias_row, ln_scale, ln_bias,
+                    kernel.astype(dtype), conv_bias)
       else:
         h = nn.Dropout(mcfg.dropout, deterministic=False)(feat)
-        feat = _fused.cnn_layer_reference(
-            h, bias_row, ln_scale, ln_bias, kernel.astype(dtype),
-            conv_bias, dilation=dilation, residual=feat)
+        body = lambda *a, _d=dilation: _fused.cnn_layer_reference(
+            *a[:6], dilation=_d, residual=a[6])
+        if remat:
+          body = jax.checkpoint(body)
+        feat = body(h, bias_row, ln_scale, ln_bias,
+                    kernel.astype(dtype), conv_bias, feat)
 
     feat = Conv1D(hidden, 1, dtype=dtype, name='final_0')(feat)
     feat = jax.nn.relu(feat)

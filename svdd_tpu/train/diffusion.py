@@ -77,18 +77,47 @@ def init_state(model: Diffusion, config: Config,
 
 def make_train_step(model: Diffusion, config: Config):
   opt = make_optimizer(config)
+  accum = max(1, getattr(config.training, 'accum_steps', 1))
 
-  def train_step(state: TrainState, batch):
-    rng, loss_key, drop_key = jax.random.split(state.rng, 3)
-
+  def microbatch_grads(params, extras, batch, loss_key, drop_key):
     def loss_fn(params):
-      variables = {'params': params, **state.extras}
+      variables = {'params': params, **extras}
       out = model.loss(variables, loss_key, batch['seqs'],
                        batch.get('attention_mask'), train=True,
                        dropout_rng=drop_key)
       return out.loss
+    return jax.value_and_grad(loss_fn)(params)
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+  def train_step(state: TrainState, batch):
+    rng, loss_key, drop_key = jax.random.split(state.rng, 3)
+
+    if accum == 1:
+      loss, grads = microbatch_grads(state.params, state.extras, batch,
+                                     loss_key, drop_key)
+    else:
+      # grad accumulation: scan over `accum` microbatches (batch axis
+      # must divide), averaging loss+grads before the single update.
+      # Each microbatch gets independent t-draw and dropout keys.
+      def split_mb(x):
+        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+      mbs = jax.tree.map(split_mb, batch)
+      keys = (jax.random.split(loss_key, accum),
+              jax.random.split(drop_key, accum))
+
+      def body(carry, xs):
+        loss_sum, grad_sum = carry
+        mb, (lk, dk) = xs
+        loss, grads = microbatch_grads(state.params, state.extras,
+                                       mb, lk, dk)
+        return (loss_sum + loss,
+                jax.tree.map(jnp.add, grad_sum, grads)), None
+
+      zero = (jnp.zeros(()),
+              jax.tree.map(jnp.zeros_like, state.params))
+      (loss, grads), _ = jax.lax.scan(body, zero, (mbs, keys))
+      loss = loss / accum
+      grads = jax.tree.map(lambda g: g / accum, grads)
+
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     ema = ema_lib.update(state.ema, params)

@@ -244,3 +244,55 @@ def test_dataset_row_sharding(tmp_path, cfg):
   seen0 = set(np.asarray(next(iter(it0))['clss'])[:, 0])
   seen1 = set(np.asarray(next(iter(it1))['clss'])[:, 0])
   assert seen0.isdisjoint(seen1)
+
+
+def test_grad_accumulation_matches_manual_average(cfg):
+  """training.accum_steps=2 must equal one update from the hand-average
+  of the two microbatch grads (same key-splitting discipline)."""
+  import copy
+  import optax
+  from svdd_tpu.models import ema as ema_lib
+
+  c2 = copy.deepcopy(cfg)
+  c2.training.accum_steps = 2
+  model = Diffusion(c2, rng=jax.random.key(0))
+  ds = GosaiDataset('train', length=c2.model.length)
+  batch = {k: jnp.asarray(v)
+           for k, v in next(iter(FaultTolerantIterator(
+               ds, 8, seed=0))).items()}
+
+  state = train_diff.init_state(model, c2, jax.random.key(7))
+  step = jax.jit(train_diff.make_train_step(model, c2))
+  new_state, loss = step(state, batch)
+
+  # manual: replicate the rng discipline of train_step
+  rng, loss_key, drop_key = jax.random.split(state.rng, 3)
+  lks = jax.random.split(loss_key, 2)
+  dks = jax.random.split(drop_key, 2)
+  mbs = jax.tree.map(
+      lambda x: x.reshape((2, x.shape[0] // 2) + x.shape[1:]), batch)
+
+  def loss_fn(params, mb, lk, dk):
+    variables = {'params': params, **state.extras}
+    return model.loss(variables, lk, mb['seqs'],
+                      mb.get('attention_mask'), train=True,
+                      dropout_rng=dk).loss
+
+  want_loss = 0.0
+  grad_sum = jax.tree.map(jnp.zeros_like, state.params)
+  for i in range(2):
+    mb = jax.tree.map(lambda x, i=i: x[i], mbs)
+    l, g = jax.value_and_grad(loss_fn)(state.params, mb, lks[i], dks[i])
+    want_loss += float(l) / 2
+    grad_sum = jax.tree.map(lambda a, b: a + b / 2, grad_sum, g)
+
+  opt = train_diff.make_optimizer(c2)
+  updates, _ = opt.update(grad_sum, state.opt_state, state.params)
+  want_params = optax.apply_updates(state.params, updates)
+
+  assert abs(float(loss) - want_loss) < 1e-5
+  got, want = jax.tree.leaves(new_state.params), jax.tree.leaves(
+      want_params)
+  for a, b in zip(got, want):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
