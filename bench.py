@@ -102,6 +102,50 @@ def build_workload(batch_size: int, sample_m: int, steps: int,
   return sampler
 
 
+def build_train_workload(batch_size: int, length: int, small: bool,
+                         algo: str):
+  """Training-step benchmarks. Returns (state, step_fn) where
+  step_fn(state) -> (state, loss)."""
+  import numpy as np
+  from svdd_tpu import rewards, value as value_lib
+  from svdd_tpu.config import dna_config, tiny_test_config
+  from svdd_tpu.diffusion import Diffusion
+
+  cfg = tiny_test_config('dna') if small else dna_config()
+  cfg.model.length = length
+
+  if algo == 'diffusion_train':
+    from svdd_tpu.train import diffusion as train_diff
+    # microbatch to <=64 rows: the TPU runtime's LLO compiler SIGILLs
+    # on the monolithic larger-batch CNN backward (see README)
+    cfg.training.accum_steps = max(1, batch_size // 64)
+    model = Diffusion(cfg, rng=jax.random.key(0))
+    trainer = train_diff.Trainer(model, cfg)
+    state = trainer.init_or_restore(jax.random.key(1))
+    rng = np.random.default_rng(0)
+    batch = {
+        'seqs': jnp.asarray(rng.integers(0, 4, (batch_size, length)),
+                            jnp.int32),
+        'attention_mask': jnp.ones((batch_size, length)),
+    }
+    return state, lambda s: trainer.train_step(s, batch)
+
+  assert algo == 'value_train'
+  from svdd_tpu.train import value as train_val
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  reward_fn = rewards.synthetic_motif_oracle(length)
+  vf = value_lib.ValueFunction.create(
+      'dna' if not small else 'rna', length, jax.random.key(2))
+  # mc_subsample: grads through the full-scale Enformer at all 129
+  # intermediate states need >22 GB HBM; 16 random timesteps/iter keep
+  # the step resident (the demo pipelines train the same way)
+  tcfg = train_val.ValueTrainerConfig(
+      batch_size=batch_size, mc_subsample=None if small else 16)
+  trainer = train_val.ValueTrainer(model, vf, reward_fn, tcfg)
+  state = trainer.init_state(jax.random.key(3))
+  return state, lambda s: trainer._train_step(s, None)
+
+
 def estimate_flops(sampler, key) -> float:
   """Total FLOPs of one guided decode via XLA cost analysis (hits the
   already-compiled executable's cache)."""
@@ -121,10 +165,13 @@ def main() -> None:
   p.add_argument('--iters', type=int, default=3)
   p.add_argument('--algo', default='svdd_mc',
                  choices=['svdd_mc', 'svdd_pm', 'tds', 'dps',
-                          'classifier'],
+                          'classifier', 'diffusion_train',
+                          'value_train'],
                  help='svdd_pm adds a second denoiser pass per step '
                       '(decode_tweedie.py path); tds/dps/classifier '
-                      'bench the baseline guided samplers')
+                      'bench the baseline guided samplers; '
+                      '*_train bench one optimizer step (value_train '
+                      'includes its self-generated MC trajectory)')
   p.add_argument('--small', action='store_true',
                  help='tiny CPU self-test preset')
   args = p.parse_args()
@@ -142,11 +189,36 @@ def main() -> None:
   T0 = time.perf_counter()
   n_chips = jax.device_count()
   phase(f'devices: {jax.devices()}')
+
+  import numpy as np
+
+  if args.algo.endswith('_train'):
+    state, step = build_train_workload(args.batch_size, args.length,
+                                       args.small, args.algo)
+    phase('train workload built')
+    state, loss = step(state)
+    np.asarray(loss)
+    phase('compile + warmup step done')
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+      state, loss = step(state)
+    np.asarray(loss)
+    dt = time.perf_counter() - t0
+    phase(f'{args.iters} timed steps done ({dt:.2f}s, '
+          f'loss {float(loss):.4f})')
+    seqs = args.batch_size * args.iters / dt / n_chips
+    print(json.dumps({
+        'metric': f'{args.algo} step throughput (B={args.batch_size}, '
+                  f'L={args.length})',
+        'value': round(seqs, 3),
+        'unit': 'seqs/sec/chip',
+        'vs_baseline': 0.0,
+    }))
+    return
+
   sampler = build_workload(args.batch_size, args.sample_M, args.steps,
                            args.length, args.small, args.algo)
   phase('workload built (models initialized)')
-
-  import numpy as np
 
   key = jax.random.key(0)
   # warmup / compile. NB block_until_ready does NOT block on the axon

@@ -71,7 +71,13 @@ def cnn_layer_reference(x: Array, bias_row: Array, ln_scale: Array,
   var = ((h32 - mu) ** 2).mean(-1, keepdims=True)
   h = ((h32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
   h = h * ln_scale.astype(x.dtype) + ln_bias.astype(x.dtype)
-  h = conv1d_shifted(h, kernel, conv_bias, dilation)
+  # cast kernel/bias to the activation dtype (Conv1D does the same):
+  # an f32 bias would promote the whole output to f32, diverging from
+  # the Pallas kernel's x.dtype output — which breaks the custom-VJP
+  # cotangent dtype under a bf16 CNN and silently upcasts training
+  h = conv1d_shifted(h, kernel.astype(x.dtype),
+                     None if conv_bias is None
+                     else conv_bias.astype(x.dtype), dilation)
   return jax.nn.relu(h) + (x if residual is None else residual)
 
 

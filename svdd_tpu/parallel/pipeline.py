@@ -1,0 +1,125 @@
+"""Pipeline parallelism: GPipe microbatch schedule over a 'pipe' mesh
+axis.
+
+Beyond-reference capability (the reference is data-parallel only,
+SURVEY.md §2.2): uniform transformer stacks (DiT blocks, Enformer
+transformer tower) are split into S stages, one per device along the
+'pipe' axis; microbatches stream through the stages with activations
+handed over by `lax.ppermute` over ICI. The whole schedule is one
+`lax.scan` of M + S - 1 ticks inside a single `shard_map` — XLA sees a
+static program, no host round-trips.
+
+Differentiable by construction: `ppermute`'s transpose is the reverse
+permute, so `jax.grad` through `gpipe` yields the standard GPipe
+backward schedule automatically (activations for the backward are the
+scan's saved carries; wrap `stage_fn` in `jax.checkpoint` to trade
+recompute for memory at scale).
+
+Bubble fraction is the usual (S-1)/(M+S-1); pick num_microbatches >= 4x
+the stage count for >80% utilization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PIPE_AXIS = 'pipe'
+
+Array = jnp.ndarray
+
+
+def stack_stage_params(per_block_params: list, blocks_per_stage: int
+                       ) -> Any:
+  """[L block param trees] -> one tree with leaves (S, k, ...) where
+  L = S*k: stage-major stacking for `gpipe` (shard leading dim over
+  'pipe')."""
+  n = len(per_block_params)
+  assert n % blocks_per_stage == 0, (n, blocks_per_stage)
+  stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_block_params)
+  return jax.tree.map(
+      lambda x: x.reshape((n // blocks_per_stage, blocks_per_stage)
+                          + x.shape[1:]),
+      stacked)
+
+
+def gpipe(stage_fn: Callable, stage_params: Any, x: Array,
+          mb_args: tuple = (), bcast_args: tuple = (), *,
+          mesh: Mesh, num_microbatches: int,
+          axis_name: str = PIPE_AXIS) -> Array:
+  """Run x through S pipelined stages.
+
+  stage_fn(params_k, x_mb, *mb_args_mb, *bcast_args) -> y_mb with
+  y_mb.shape == x_mb.shape; params_k is one stage's (k, ...) sub-stack
+  (scan over k inside stage_fn for multi-block stages).
+
+  stage_params: leaves (S, k, ...) — sharded over 'pipe'.
+  x: (B, ...) — microbatched into (M, B/M, ...); B % M == 0.
+  mb_args: per-sample side inputs split like x (e.g. adaLN cond (B,C)).
+  bcast_args: replicated side inputs (e.g. rotary cos/sin tables).
+  Returns (B, ...) replicated across the pipe axis.
+  """
+  from jax.experimental.shard_map import shard_map
+
+  s = mesh.shape[axis_name]
+  m = num_microbatches
+  b = x.shape[0]
+  assert b % m == 0, (b, m)
+
+  def to_mb(a):
+    return a.reshape((m, b // m) + a.shape[1:])
+
+  x_mbs = to_mb(x)
+  mb_mbs = tuple(to_mb(a) for a in mb_args)
+
+  def worker(params, x_mbs, mb_mbs, bcast):
+    # shard_map gives this device its (1, k, ...) params slice
+    params = jax.tree.map(lambda p: p[0], params)
+    stage = jax.lax.axis_index(axis_name)
+    zero_mb = jnp.zeros_like(x_mbs[0])
+    outs0 = jnp.zeros_like(x_mbs)
+
+    def tick(carry, t):
+      cur, outs = carry
+      mi = jnp.clip(t - stage, 0, m - 1)
+      inp = jnp.where(stage == 0,
+                      jax.lax.dynamic_index_in_dim(x_mbs, mi, 0,
+                                                   keepdims=False),
+                      cur)
+      mbs_t = tuple(
+          jax.lax.dynamic_index_in_dim(a, mi, 0, keepdims=False)
+          for a in mb_mbs)
+      out = stage_fn(params, inp, *mbs_t, *bcast)
+      # last stage deposits microbatch t-(S-1) into the output buffer
+      oi = t - (s - 1)
+      valid = jnp.logical_and(stage == s - 1, oi >= 0)
+      oi_c = jnp.clip(oi, 0, m - 1)
+      prev = jax.lax.dynamic_index_in_dim(outs, oi_c, 0,
+                                          keepdims=False)
+      outs = jax.lax.dynamic_update_index_in_dim(
+          outs, jnp.where(valid, out, prev), oi_c, 0)
+      # hand my activation to the next stage (wrap to 0 is ignored)
+      nxt = jax.lax.ppermute(out, axis_name,
+                             [(i, (i + 1) % s) for i in range(s)])
+      return (nxt, outs), None
+
+    (_, outs), _ = jax.lax.scan(
+        tick, (zero_mb, outs0), jnp.arange(m + s - 1))
+    # replicate the last stage's buffer everywhere
+    outs = jax.lax.psum(
+        jnp.where(stage == s - 1, outs, jnp.zeros_like(outs)),
+        axis_name)
+    return outs
+
+  spec_p = jax.tree.map(lambda _: P(axis_name), stage_params)
+  out = shard_map(
+      worker, mesh=mesh,
+      in_specs=(spec_p, P(), P(), P()),
+      out_specs=P(),
+      check_rep=False,
+  )(stage_params, x_mbs, mb_mbs, bcast_args)
+  return out.reshape((b,) + x.shape[1:])

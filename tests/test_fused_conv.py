@@ -134,3 +134,28 @@ def test_cnn_layer_fused_custom_vjp_matches_reference_grad():
                              atol=1e-4, rtol=1e-4)
   np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
                              atol=1e-4, rtol=1e-4)
+
+
+def test_cnn_layer_bf16_dtype_discipline():
+  """bf16 activations with f32 params must stay bf16 through the
+  reference layer (an f32 conv-bias promotion diverged from the Pallas
+  kernel's output dtype and broke the custom-VJP cotangent under
+  SVDD_CNN_BF16=1), and the VJP must accept bf16 cotangents."""
+  from svdd_tpu.ops.cnn_layer_pallas import (_fused_core,
+                                             cnn_layer_reference)
+  n, l, c, k, dil = 8, 20, 128, 9, 4
+  x = _rand(0, (n, l, c)).astype(jnp.bfloat16)
+  br = _rand(1, (n, c), 0.5).astype(jnp.bfloat16)
+  g = (1.0 + 0.1 * _rand(2, (c,)))            # f32 params
+  b = 0.1 * _rand(3, (c,))
+  w = _rand(4, (k, c, c), 0.05)
+  cb = 0.1 * _rand(5, (c,))
+  out = cnn_layer_reference(x, br, g, b, w, cb, dil)
+  assert out.dtype == jnp.bfloat16
+
+  def loss(x):
+    return jnp.sum(_fused_core(x, br, g, b, w, cb, dil, 1e-6, True)
+                   .astype(jnp.float32))
+  gx = jax.grad(loss)(x)
+  assert gx.dtype == jnp.bfloat16
+  assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
