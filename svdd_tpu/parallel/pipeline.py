@@ -123,3 +123,51 @@ def gpipe(stage_fn: Callable, stage_params: Any, x: Array,
       check_rep=False,
   )(stage_params, x_mbs, mb_mbs, bcast_args)
   return out.reshape((b,) + x.shape[1:])
+
+
+def pipeline_dit_forward(dit, variables: Any, indices: Array,
+                         sigma: Array, *, mesh: Mesh,
+                         num_microbatches: int,
+                         axis_name: str = PIPE_AXIS) -> Array:
+  """Inference forward of a DIT backbone with its block stack
+  pipelined over the 'pipe' mesh axis.
+
+  Equivalent to ``dit.apply(variables, indices, sigma)`` (eval mode):
+  embedding, timestep conditioning and the final layer run replicated;
+  the n_blocks DDiTBlocks are split into mesh.shape[axis] stages.
+  n_blocks must divide evenly by the stage count.
+  """
+  from svdd_tpu.models.dit import (DDiTBlock, DDitFinalLayer,
+                                   TimestepEmbedder, rotary_cos_sin)
+
+  params = variables['params']
+  mcfg = dit.config.model
+  dim = mcfg.hidden_size
+  s = mesh.shape[axis_name]
+  assert mcfg.n_blocks % s == 0, (mcfg.n_blocks, s)
+
+  x = params['vocab_embed'][indices].astype(dit.compute_dtype)
+  c = jax.nn.silu(TimestepEmbedder(mcfg.cond_dim).apply(
+      {'params': params['TimestepEmbedder_0']}, sigma))
+  c = c.astype(dit.compute_dtype)
+  cos, sin = rotary_cos_sin(x.shape[1], dim // mcfg.n_heads)
+  cos = cos.astype(dit.compute_dtype)
+  sin = sin.astype(dit.compute_dtype)
+
+  blk = DDiTBlock(dim, mcfg.n_heads, mcfg.cond_dim,
+                  dropout=mcfg.dropout)
+  per_block = [params[f'block_{i}'] for i in range(mcfg.n_blocks)]
+  stacked = stack_stage_params(per_block, mcfg.n_blocks // s)
+
+  def stage_fn(params_k, h, c, cos, sin):
+    h, _ = jax.lax.scan(
+        lambda h, p: (blk.apply({'params': p}, h, cos, sin, c), None),
+        h, params_k)
+    return h
+
+  x = gpipe(stage_fn, stacked, x, mb_args=(c,), bcast_args=(cos, sin),
+            mesh=mesh, num_microbatches=num_microbatches,
+            axis_name=axis_name)
+  x = DDitFinalLayer(dim, dit.vocab_size, mcfg.cond_dim).apply(
+      {'params': params['DDitFinalLayer_0']}, x, c)
+  return x.astype(jnp.float32)

@@ -216,3 +216,35 @@ def test_gpipe_dit_blocks():
       mesh=mesh, num_microbatches=4))(stacked)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                              atol=2e-4, rtol=2e-4)
+
+
+def test_pipeline_dit_forward_matches_apply():
+  """pipeline_dit_forward over the 8-stage pipe mesh == dit.apply."""
+  from jax.sharding import Mesh
+  from svdd_tpu.config import tiny_test_config
+  from svdd_tpu.models.dit import DIT
+  from svdd_tpu.parallel.pipeline import pipeline_dit_forward
+
+  cfg = tiny_test_config('rna')
+  cfg.model.n_blocks = 8
+  cfg.model.hidden_size = 32
+  cfg.model.cond_dim = 32
+  cfg.model.n_heads = 2
+  cfg.model.dropout = 0.0
+  dit = DIT(cfg, vocab_size=5, compute_dtype=jnp.float32)
+  b, l = 8, cfg.model.length
+  idx = jax.random.randint(jax.random.key(0), (b, l), 0, 5)
+  sigma = jnp.linspace(0.1, 0.9, b)
+  variables = dit.init(jax.random.key(1), idx, sigma)
+  # zero-init adaLN makes blocks identity; perturb so the pipeline
+  # actually has to transport non-trivial activations
+  variables = jax.tree.map(
+      lambda a: a + 0.03 * jax.random.normal(
+          jax.random.key(a.size % 89), a.shape), variables)
+
+  ref = dit.apply(variables, idx, sigma)
+  mesh = Mesh(np.asarray(jax.devices()).reshape(8), ('pipe',))
+  out = jax.jit(lambda v: pipeline_dit_forward(
+      dit, v, idx, sigma, mesh=mesh, num_microbatches=4))(variables)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=2e-5, rtol=2e-5)
