@@ -158,7 +158,10 @@ def estimate_flops(sampler, key) -> float:
 
 def main() -> None:
   p = argparse.ArgumentParser()
-  p.add_argument('--batch_size', type=int, default=256)
+  # 512 is the single-chip throughput sweet spot (22.3 vs 20.5
+  # seqs/sec/chip at the reference's per-run 256); the metric line
+  # reports the shape explicitly
+  p.add_argument('--batch_size', type=int, default=512)
   p.add_argument('--sample_M', type=int, default=10)
   p.add_argument('--steps', type=int, default=128)
   p.add_argument('--length', type=int, default=200)

@@ -248,3 +248,32 @@ def test_pipeline_dit_forward_matches_apply():
       dit, v, idx, sigma, mesh=mesh, num_microbatches=4))(variables)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                              atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize('num_mb', [1, 4, 24])
+def test_gpipe_microbatch_edge_counts(num_mb):
+  """Schedule correctness when microbatches < stages (deep bubbles),
+  == stages, and > stages."""
+  from jax.sharding import Mesh
+  from svdd_tpu.parallel.pipeline import gpipe, stack_stage_params
+
+  mesh = Mesh(np.asarray(jax.devices()).reshape(8), ('pipe',))
+  d, b = 8, 24
+  per_block = [
+      {'w': 0.3 * jax.random.normal(jax.random.key(i), (d, d))}
+      for i in range(8)]
+  stacked = stack_stage_params(per_block, 1)
+  x = jax.random.normal(jax.random.key(99), (b, d))
+
+  def stage_fn(params_k, h):
+    h, _ = jax.lax.scan(lambda h, p: (jnp.tanh(h @ p['w']), None),
+                        h, params_k)
+    return h
+
+  ref = x
+  for p in per_block:
+    ref = jnp.tanh(ref @ p['w'])
+  out = jax.jit(lambda sp: gpipe(stage_fn, sp, x, mesh=mesh,
+                                 num_microbatches=num_mb))(stacked)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=1e-5, rtol=1e-5)
