@@ -38,7 +38,13 @@ def run(args) -> None:
   )
   trainer = train_val.ValueTrainer(diffusion, vf, reward_fn, tcfg,
                                    sample_M=args.sample_M)
-  state = trainer.init_state(jax.random.key(args.seed))
+  if args.resume_state_path:
+    state = trainer.restore_state(args.resume_state_path,
+                                  jax.random.key(args.seed))
+    LOGGER.info('resumed trainer state at step %d (tokens %.3g)',
+                int(state.step), float(state.tokens))
+  else:
+    state = trainer.init_state(jax.random.key(args.seed))
 
   eval_batches = eval_targets = None
   if args.val_batch_num > 0:
@@ -63,6 +69,10 @@ def run(args) -> None:
       save_pytree(args.save_path,
                   {'params': state.params, **state.extras})
       LOGGER.info('saved value net to %s', args.save_path)
+    if args.save_state_path:
+      trainer.save_state(args.save_state_path, state)
+      LOGGER.info('saved full trainer state to %s',
+                  args.save_state_path)
 
 
 def _run_multisep(args, cfg, diffusion, reward_fn) -> None:
@@ -95,6 +105,11 @@ def main() -> None:
   parser.add_argument('--lr_decay', action='store_true', default=False)
   parser.add_argument('--eval_every', type=int, default=200)
   parser.add_argument('--save_path', type=str, default=None)
+  parser.add_argument('--save_state_path', type=str, default=None,
+                      help='full trainer state (params + optimizer + '
+                           'token counter + rng) for exact resume, '
+                           'like the reference trainer.py:73-96 dicts')
+  parser.add_argument('--resume_state_path', type=str, default=None)
   run(parser.parse_args())
 
 

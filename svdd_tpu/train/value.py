@@ -192,6 +192,36 @@ class ValueTrainer:
         self.vf.module, {'params': state.params, **state.extras},
         self.vf.length, self.vf.timed)
 
+  # -- full trainer-state checkpointing (reference trainer.py:73-96
+  #    saves {model, optimizer, scaler, tokens, best_loss, epoch};
+  #    bf16 needs no GradScaler, the rest round-trips here) -------------
+
+  def save_state(self, path: str, state: ValueTrainState) -> None:
+    from svdd_tpu.checkpoint import save_pytree
+    save_pytree(path, {
+        'step': state.step, 'params': state.params,
+        'extras': state.extras, 'opt_state': state.opt_state,
+        'rng': jax.random.key_data(state.rng),
+        'tokens': state.tokens,
+    })
+
+  def restore_state(self, path: str, rng: jax.Array
+                    ) -> ValueTrainState:
+    """Resume mid-run: optimizer moments, token counter for the LR
+    schedule, and the RNG stream all continue."""
+    from svdd_tpu.checkpoint import load_pytree
+    template = self.init_state(rng)
+    tree = load_pytree(path, {
+        'step': template.step, 'params': template.params,
+        'extras': template.extras, 'opt_state': template.opt_state,
+        'rng': jax.random.key_data(template.rng),
+        'tokens': template.tokens,
+    })
+    return ValueTrainState(
+        jnp.asarray(tree['step']), tree['params'], tree['extras'],
+        tree['opt_state'], jax.random.wrap_key_data(tree['rng']),
+        jnp.asarray(tree['tokens']))
+
   # -- per-timestep eval (Enformer.py evaluate_seq_step:318-341) ------------
 
   def evaluate_seq_step(self, state: ValueTrainState,

@@ -296,3 +296,32 @@ def test_grad_accumulation_matches_manual_average(cfg):
   for a, b in zip(got, want):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_value_trainer_state_roundtrip(cfg, tmp_path):
+  """save_state/restore_state: optimizer moments, token counter and the
+  rng stream continue exactly (reference trainer.py:73-96 semantics)."""
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  reward_fn = rewards.synthetic_motif_oracle(cfg.model.length)
+  vf = value_lib.ValueFunction.create('rna', cfg.model.length,
+                                      jax.random.key(2))
+  tcfg = train_val.ValueTrainerConfig(batch_size=4, lr_decay=True)
+  trainer = train_val.ValueTrainer(model, vf, reward_fn, tcfg)
+  state = trainer.init_state(jax.random.key(3))
+  for _ in range(3):
+    state, _ = trainer._train_step(state, None)
+
+  path = str(tmp_path / 'vstate')
+  trainer.save_state(path, state)
+  restored = trainer.restore_state(path, jax.random.key(99))
+  assert int(restored.step) == int(state.step)
+  for a, b in zip(jax.tree.leaves(state.params),
+                  jax.tree.leaves(restored.params)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  for a, b in zip(jax.tree.leaves(state.opt_state),
+                  jax.tree.leaves(restored.opt_state)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  # continuing produces finite losses and advances the step
+  restored, loss = trainer._train_step(restored, None)
+  assert int(restored.step) == int(state.step) + 1
+  assert np.isfinite(float(loss))
