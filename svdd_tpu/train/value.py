@@ -291,6 +291,22 @@ class MultiSepTrainer:
 
     return step
 
+  def save_state(self, path: str, state) -> None:
+    from svdd_tpu.checkpoint import save_pytree
+    it, stacked, opt_state, rng = state
+    save_pytree(path, {'step': it, 'stacked': stacked,
+                       'opt_state': opt_state,
+                       'rng': jax.random.key_data(rng)})
+
+  def restore_state(self, path: str, rng: jax.Array):
+    from svdd_tpu.checkpoint import load_pytree
+    it, stacked, opt_state, rng0 = self.init_state(rng)
+    tree = load_pytree(path, {
+        'step': it, 'stacked': stacked, 'opt_state': opt_state,
+        'rng': jax.random.key_data(rng0)})
+    return (jnp.asarray(tree['step']), tree['stacked'],
+            tree['opt_state'], jax.random.wrap_key_data(tree['rng']))
+
   def train(self, state, num_iters: int, log_every: int = 50):
     for i in range(num_iters):
       state, (loss, losses) = self._train_step(state, None)
