@@ -325,3 +325,25 @@ def test_value_trainer_state_roundtrip(cfg, tmp_path):
   restored, loss = trainer._train_step(restored, None)
   assert int(restored.step) == int(state.step) + 1
   assert np.isfinite(float(loss))
+
+
+def test_multisep_state_roundtrip(cfg, tmp_path):
+  from svdd_tpu.models.multisep import MultiSepValueModel
+  from svdd_tpu.value import build_value_module
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  module = build_value_module('rna', 'enformer', n_tasks=1)
+  msm = MultiSepValueModel(module, n_models=4,
+                           num_steps=cfg.sampling.steps)
+  tcfg = train_val.ValueTrainerConfig(batch_size=4)
+  tr = train_val.MultiSepTrainer(
+      model, msm, rewards.synthetic_motif_oracle(cfg.model.length),
+      tcfg)
+  st = tr.train(tr.init_state(jax.random.key(1)), 2)
+  path = str(tmp_path / 'ms_state')
+  tr.save_state(path, st)
+  r = tr.restore_state(path, jax.random.key(9))
+  assert int(r[0]) == int(st[0])
+  for a, b in zip(jax.tree.leaves(st[1]), jax.tree.leaves(r[1])):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  r = tr.train(r, 1)
+  assert int(r[0]) == int(st[0]) + 1
