@@ -50,3 +50,21 @@ assert x.shape == (B, L)
 assert len(np.unique(x)) > 1
 phase(f'AR decode {B}x{L} in {dt:.2f}s ({B / dt:.1f} seqs/sec; '
       f'{L - 1} positions, full-prefix forwards)')
+
+# KV-cached variant (ar_sample_kv): same samples, single-token cached
+# forwards
+from svdd_tpu.models.autoregressive import ar_sample_kv
+fn_kv = jax.jit(lambda v, k: ar_sample_kv(model, v, B, L, k))
+x_kv = np.asarray(fn_kv(variables, jax.random.key(2)))
+phase('KV compile + first decode done')
+t0 = time.perf_counter()
+x_kv = np.asarray(fn_kv(variables, jax.random.key(2)))
+dt2 = time.perf_counter() - t0
+# exact equality holds in f32 (tests/test_extras.py); under bf16 on
+# TPU, reduction-order ulp differences flip near-tie argmaxes and the
+# AR chain then diverges downstream — report agreement, don't assert
+agree = float((x_kv == x).mean())
+assert x_kv.shape == x.shape and len(np.unique(x_kv)) > 1
+phase(f'KV-cached AR decode {B}x{L} in {dt2:.2f}s '
+      f'({B / dt2:.1f} seqs/sec — {dt / dt2:.1f}x the uncached loop; '
+      f'bf16 token agreement {agree:.3f})')

@@ -107,3 +107,108 @@ def ar_sample(model: ARModel, variables, batch_size: int, length: int,
 
   x, _ = jax.lax.scan(body, x0, jnp.arange(num_pred))
   return x
+
+
+def ar_sample_kv(model: ARModel, variables, batch_size: int,
+                 length: int, key: jax.Array,
+                 bos_token: int = 0) -> Array:
+  """KV-cached AR ancestral decode — beyond-parity speedup.
+
+  Numerically equivalent to ``ar_sample`` (same Gumbel pre-draw, same
+  sampling rule) but each position runs a SINGLE-token forward against
+  per-block K/V caches instead of re-running the whole prefix
+  (the reference's loop, diffusion_gosai.py:802-818, has no cache
+  either): per-position Dense work drops from O(L·D²) to O(D²).
+  Attention reads the full-length cache with a position mask so every
+  scan step has static shapes.
+  """
+  import math
+
+  p = variables['params']
+  mcfg = model.config.model
+  dim = mcfg.hidden_size
+  h = mcfg.n_heads
+  hd = dim // h
+  nb = mcfg.n_blocks
+  dtype = model.compute_dtype
+  b = batch_size
+
+  cos, sin = rotary_cos_sin(length, hd)
+  cos = cos.astype(dtype)
+  sin = sin.astype(dtype)
+  embed = p['vocab_embed']
+  num_pred = length - 1
+  noise = jax.random.gumbel(
+      key, (b, num_pred, model.vocab_size))
+
+  def ln(scale, x):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
+    return (out.astype(x.dtype) * scale.astype(x.dtype))
+
+  def rot1(x, c, s):
+    # x (B, H, D); c/s (D/2,)
+    d2 = hd // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    return jnp.concatenate(
+        [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+  def block_step(pb, xi, ck, cv, i):
+    # xi (B, D); ck/cv (B, L, H, hd)
+    xm = ln(pb['LayerNorm_0']['scale'], xi)
+    qkv = (xm @ pb['attn_qkv']['kernel'].astype(xm.dtype)
+           ).reshape(b, 3, h, hd)
+    q, k1, v1 = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    c_i = jax.lax.dynamic_index_in_dim(cos, i, 0, keepdims=False)
+    s_i = jax.lax.dynamic_index_in_dim(sin, i, 0, keepdims=False)
+    q = rot1(q, c_i, s_i)
+    k1 = rot1(k1, c_i, s_i)
+    ck = jax.lax.dynamic_update_index_in_dim(ck, k1, i, 1)
+    cv = jax.lax.dynamic_update_index_in_dim(cv, v1, i, 1)
+    logits = jnp.einsum('bhd,bjhd->bhj', q, ck,
+                        preferred_element_type=jnp.float32
+                        ) / math.sqrt(hd)
+    mask = jnp.arange(length) <= i
+    logits = jnp.where(mask[None, None, :], logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(cv.dtype)
+    o = jnp.einsum('bhj,bjhd->bhd', w, cv).reshape(b, dim)
+    o = o @ pb['attn_out']['kernel'].astype(o.dtype)
+    x = xi + o
+    xm = ln(pb['LayerNorm_1']['scale'], x)
+    y = xm @ pb['mlp_0']['kernel'].astype(xm.dtype) + pb['mlp_0'][
+        'bias'].astype(xm.dtype)
+    y = jax.nn.gelu(y, approximate=True)
+    y = y @ pb['mlp_1']['kernel'].astype(y.dtype) + pb['mlp_1'][
+        'bias'].astype(y.dtype)
+    return x + y, ck, cv
+
+  ck0 = jnp.zeros((nb, b, length, h, hd), dtype)
+  cv0 = jnp.zeros((nb, b, length, h, hd), dtype)
+  x0 = jnp.zeros((b, length), jnp.int32).at[:, 0].set(bos_token)
+
+  def body(carry, i):
+    x, ck, cv = carry
+    tok = jnp.take_along_axis(x, i[None, None].repeat(b, 0),
+                              axis=1)[:, 0]
+    xi = embed[tok].astype(dtype)
+    new_ck, new_cv = [], []
+    for j in range(nb):
+      xi, ckj, cvj = block_step(p[f'block_{j}'], xi, ck[j], cv[j], i)
+      new_ck.append(ckj)
+      new_cv.append(cvj)
+    ck = jnp.stack(new_ck)
+    cv = jnp.stack(new_cv)
+    xi = ln(p['LayerNorm_0']['scale'], xi)
+    logits = (xi @ p['lm_head']['kernel'].astype(xi.dtype)
+              + p['lm_head']['bias'].astype(xi.dtype)
+              ).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    y = jnp.argmax(logp + noise[:, i], axis=-1)
+    x = jax.lax.dynamic_update_index_in_dim(x.T, y, i + 1, axis=0).T
+    return (x, ck, cv), None
+
+  (x, _, _), _ = jax.lax.scan(body, (x0, ck0, cv0),
+                              jnp.arange(num_pred))
+  return x

@@ -190,3 +190,28 @@ def test_straight_through_samplers():
   np.testing.assert_allclose(np.asarray(gs.sum(-1)), 1.0, rtol=1e-5)
   tk = U.topk_mask_st(jnp.arange(6.0)[None], k=2)
   assert float(tk[0, -1]) == 1.0 and float(tk[0, 0]) < 1.0
+
+
+def test_ar_sample_kv_matches_uncached():
+  """KV-cached AR decode must reproduce ar_sample exactly (same Gumbel
+  pre-draw, single-token cached forwards vs full-prefix re-runs)."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.config import tiny_test_config
+  from svdd_tpu.models.autoregressive import (ARModel, ar_sample,
+                                              ar_sample_kv)
+
+  cfg = tiny_test_config('rna')
+  cfg.model.backbone = 'ar'
+  model = ARModel(cfg, vocab_size=5, compute_dtype=jnp.float32)
+  L = cfg.model.length
+  v = jax.jit(model.init)(jax.random.key(0),
+                          jnp.zeros((1, L), jnp.int32),
+                          jnp.zeros((1,)))
+  key = jax.random.key(7)
+  ref = np.asarray(jax.jit(
+      lambda v, k: ar_sample(model, v, 6, L, k))(v, key))
+  got = np.asarray(jax.jit(
+      lambda v, k: ar_sample_kv(model, v, 6, L, k))(v, key))
+  np.testing.assert_array_equal(got, ref)
