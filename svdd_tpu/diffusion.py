@@ -141,6 +141,27 @@ class Diffusion:
     """Diffusion training loss (_loss/_forward_pass_diffusion,
     diffusion_gosai.py:1709-1779)."""
     cfg = self.config
+    if self.parameterization == 'ar':
+      # AR baseline: shifted next-token NLL, no diffusion machinery
+      # (_loss 'ar' branch + _maybe_sub_sample input/output split,
+      # diffusion_gosai.py:1671-1697, 1763-1767). Sub-sampling for
+      # seqlen > model.length raises NotImplementedError in the
+      # reference too (:1674).
+      if x0.shape[1] > cfg.model.length:
+        raise NotImplementedError('sub-sampling not implemented '
+                                  '(reference parity)')
+      input_tokens, output_tokens = x0[:, :-1], x0[:, 1:]
+      if attention_mask is None:
+        attention_mask = jnp.ones(x0.shape, jnp.float32)
+      mask = attention_mask[:, 1:]
+      rngs = ({'dropout': dropout_rng} if dropout_rng is not None
+              else None)
+      logprobs = self.backbone.apply(variables, input_tokens, None,
+                                     train=train, rngs=rngs)
+      nll = -jnp.take_along_axis(logprobs, output_tokens[..., None],
+                                 -1)[..., 0]
+      nlls = nll * mask
+      return mdlm.LossOutput(nlls.sum() / mask.sum(), nlls, mask)
     kt, kq = jax.random.split(key)
     t = mdlm.sample_t(kt, x0.shape[0], cfg.training.sampling_eps,
                       cfg.training.antithetic_sampling)
