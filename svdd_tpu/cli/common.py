@@ -220,3 +220,45 @@ def npz_path(args, suffix: str = '') -> str:
   import os
   return os.path.join(args.out_dir,
                       f'{args.task}-{args.reward_name}{suffix}.npz')
+
+
+def reject_saluki(args, cli_name: str) -> None:
+  """The in-scan reward guidance of TDS/DPS/classifier consumes
+  (B, L, 4) one-hots; only the tweedie path builds the 12288x6 saluki
+  oracle input (reference too: diffusion_gosai.py:1426-1428 is inside
+  _ddpm_update_finetune_controlled_twedie only)."""
+  if args.task == 'rna_saluki':
+    raise SystemExit(
+        f'{cli_name} does not support --task rna_saluki; use '
+        'decode.py (SVDD-MC) or decode_tweedie.py (SVDD-PM)')
+
+
+def finish_run(args, result, suffix: str = '',
+               extra_metrics: Optional[dict] = None) -> dict:
+  """Shared decode-CLI tail: write the npz, print + JSONL-log the
+  quantile report (the reference wandb-logs from every decode script,
+  decode.py:55-62)."""
+  from svdd_tpu.eval.metrics import quantile_report
+  from svdd_tpu.observability import MetricsLogger
+
+  path = npz_path(args, suffix)
+  result.save_npz(path)
+  LOGGER.info('wrote %s', path)
+  report = quantile_report({'decoding': result.reward_preds,
+                            'baseline': result.baseline_preds,
+                            'best_of_n': result.top_k})
+  for name, row in report.items():
+    LOGGER.info('%s: %s', name, row)
+
+  run_name = args.run_name or f'{args.task}-{args.reward_name}{suffix}'
+  logger = MetricsLogger(log_dir=args.out_dir, run_name=run_name)
+  row = {'npz': path, 'n': int(len(result.reward_preds)),
+         'batch_size': args.batch_size, 'sample_M': args.sample_M,
+         'seed': args.seed}
+  for name, stats in report.items():
+    for q, v in stats.items():
+      row[f'{name}/{q}'] = float(v)
+  row.update(extra_metrics or {})
+  logger.log(row)
+  logger.finish()
+  return report

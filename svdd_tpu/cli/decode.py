@@ -3,17 +3,17 @@
 Usage parity:
   python -m svdd_tpu.cli.decode --task rna --reward_name MRL --sample_M 10
 Writes log/{task}-{reward}.npz with 'decoding'/'baseline' keys
-(decode.py:117).
+(decode.py:117) and a metrics JSONL row (reference wandb-logs each run,
+decode.py:55-62).
 """
 
 from __future__ import annotations
 
-import numpy as np
+import time
 
 from svdd_tpu import utils
 from svdd_tpu.cli import common
 from svdd_tpu.decode import run_decode
-from svdd_tpu.eval.metrics import quantile_report
 
 LOGGER = utils.get_logger(__name__)
 
@@ -24,6 +24,7 @@ def run(args) -> None:
   reward_fn = common.load_reward_fn(args, cfg)
   vf = common.load_value_function(args, cfg)
 
+  t0 = time.perf_counter()
   result = run_decode(
       diffusion, reward_fn,
       algo='svdd_mc',
@@ -33,16 +34,13 @@ def run(args) -> None:
       sample_M=args.sample_M,
       seed=args.seed,
       skip_best_of_n=args.skip_best_of_n,
+      task=cfg.task,
+      saluki_body=common.load_saluki_body(args),
+      saluki_final_length=args.saluki_final_length,
   )
-
-  path = common.npz_path(args)
-  result.save_npz(path)
-  LOGGER.info('wrote %s', path)
-  report = quantile_report({'decoding': result.reward_preds,
-                            'baseline': result.baseline_preds,
-                            'best_of_n': result.top_k})
-  for name, row in report.items():
-    LOGGER.info('%s: %s', name, row)
+  common.finish_run(args, result,
+                    extra_metrics={'algo': 'svdd_mc',
+                                   'wall_s': time.perf_counter() - t0})
 
 
 def main() -> None:

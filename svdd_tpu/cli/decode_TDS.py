@@ -1,23 +1,29 @@
 """TDS (SMC resampling) decode CLI (reference decode_TDS.py).
 
-Adds --alpha; writes log/{task}-{reward}_TDS.npz.
+Adds --alpha; writes log/{task}-{reward}_TDS.npz plus a metrics JSONL
+row. rna_saluki is rejected: the in-scan Tweedie reward consumes
+(B, L, 4) one-hots (the reference builds saluki inputs only inside the
+tweedie update, diffusion_gosai.py:1426-1428).
 """
 
 from __future__ import annotations
 
+import time
+
 from svdd_tpu import utils
 from svdd_tpu.cli import common
 from svdd_tpu.decode import run_decode
-from svdd_tpu.eval.metrics import quantile_report
 
 LOGGER = utils.get_logger(__name__)
 
 
 def run(args) -> None:
+  common.reject_saluki(args, 'decode_TDS')
   cfg = common.task_config(args)
   diffusion = common.load_diffusion(args, cfg)
   reward_fn = common.load_reward_fn(args, cfg)
 
+  t0 = time.perf_counter()
   result = run_decode(
       diffusion, reward_fn,
       algo='tds',
@@ -28,14 +34,9 @@ def run(args) -> None:
       seed=args.seed,
       skip_best_of_n=args.skip_best_of_n,
   )
-
-  path = common.npz_path(args, '_TDS')
-  result.save_npz(path)
-  LOGGER.info('wrote %s', path)
-  for name, row in quantile_report(
-      {'decoding': result.reward_preds,
-       'baseline': result.baseline_preds}).items():
-    LOGGER.info('%s: %s', name, row)
+  common.finish_run(args, result, '_TDS',
+                    extra_metrics={'algo': 'tds', 'alpha': args.alpha,
+                                   'wall_s': time.perf_counter() - t0})
 
 
 def main() -> None:

@@ -1,28 +1,32 @@
 """Classifier-guidance decode CLI (reference decode_classfier.py —
 filename typo preserved for script parity).
 
-Adds --guidance_scale; writes log/{task}-{reward}-classfier.npz. The
-reference needs cudnn disabled for the GRU backward (its diff sets
-torch.backends.cudnn.enabled=False); the lax.scan GRU differentiates
-natively.
+Adds --guidance_scale; writes log/{task}-{reward}-classfier.npz plus a
+metrics JSONL row. The reference needs cudnn disabled for the GRU
+backward (its diff sets torch.backends.cudnn.enabled=False); the
+lax.scan GRU differentiates natively. rna_saluki is rejected: the
+value-net gradient consumes (B, L, 4) one-hots.
 """
 
 from __future__ import annotations
 
+import time
+
 from svdd_tpu import utils
 from svdd_tpu.cli import common
 from svdd_tpu.decode import run_decode
-from svdd_tpu.eval.metrics import quantile_report
 
 LOGGER = utils.get_logger(__name__)
 
 
 def run(args) -> None:
+  common.reject_saluki(args, 'decode_classfier')
   cfg = common.task_config(args)
   diffusion = common.load_diffusion(args, cfg)
   reward_fn = common.load_reward_fn(args, cfg)
   vf = common.load_value_function(args, cfg)
 
+  t0 = time.perf_counter()
   result = run_decode(
       diffusion, reward_fn,
       algo='classifier',
@@ -34,14 +38,10 @@ def run(args) -> None:
       seed=args.seed,
       skip_best_of_n=args.skip_best_of_n,
   )
-
-  path = common.npz_path(args, '-classfier')
-  result.save_npz(path)
-  LOGGER.info('wrote %s', path)
-  for name, row in quantile_report(
-      {'decoding': result.reward_preds,
-       'baseline': result.baseline_preds}).items():
-    LOGGER.info('%s: %s', name, row)
+  common.finish_run(args, result, '-classfier',
+                    extra_metrics={'algo': 'classifier',
+                                   'guidance_scale': args.guidance_scale,
+                                   'wall_s': time.perf_counter() - t0})
 
 
 def main() -> None:

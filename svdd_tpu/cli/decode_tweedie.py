@@ -1,15 +1,16 @@
 """SVDD-PM (Tweedie) decode CLI (reference decode_tweedie.py).
 
 Adds --tweedie (posterior-mean vs mask-to-zero heuristic) and writes
-log/{task}-{reward}_tw.npz.
+log/{task}-{reward}_tw.npz plus a metrics JSONL row.
 """
 
 from __future__ import annotations
 
+import time
+
 from svdd_tpu import utils
 from svdd_tpu.cli import common
 from svdd_tpu.decode import run_decode
-from svdd_tpu.eval.metrics import quantile_report
 
 LOGGER = utils.get_logger(__name__)
 
@@ -19,6 +20,7 @@ def run(args) -> None:
   diffusion = common.load_diffusion(args, cfg)
   reward_fn = common.load_reward_fn(args, cfg)
 
+  t0 = time.perf_counter()
   result = run_decode(
       diffusion, reward_fn,
       algo='svdd_pm',
@@ -32,14 +34,10 @@ def run(args) -> None:
       saluki_body=common.load_saluki_body(args),
       saluki_final_length=args.saluki_final_length,
   )
-
-  path = common.npz_path(args, '_tw')
-  result.save_npz(path)
-  LOGGER.info('wrote %s', path)
-  for name, row in quantile_report(
-      {'decoding': result.reward_preds,
-       'baseline': result.baseline_preds}).items():
-    LOGGER.info('%s: %s', name, row)
+  common.finish_run(args, result, '_tw',
+                    extra_metrics={'algo': 'svdd_pm',
+                                   'tweedie': str(args.tweedie),
+                                   'wall_s': time.perf_counter() - t0})
 
 
 def main() -> None:

@@ -43,6 +43,14 @@ def run(args) -> None:
   LOGGER.info('final pearson %.4f  MSE %.5f (n=%d)',
               float(pearson.compute()),
               float(np.mean((preds - targets) ** 2)), preds.size)
+  from svdd_tpu.observability import MetricsLogger
+  logger = MetricsLogger(
+      log_dir=args.out_dir,
+      run_name=args.run_name or f'{args.task}-{args.reward_name}-eval')
+  logger.log({'eval/pearson': float(pearson.compute()),
+              'eval/mse': float(np.mean((preds - targets) ** 2)),
+              'eval/n': int(preds.size)})
+  logger.finish()
 
 
 def main() -> None:

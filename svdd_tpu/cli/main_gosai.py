@@ -56,6 +56,50 @@ def _print_config(cfg: Config) -> None:
                                         default=str))
 
 
+def _make_sample_eval_fn(cfg: Config, args, model):
+  """In-training sample-quality validation hook
+  (diffusion_gosai.py:451-565): Wasserstein truth/pred per cell type,
+  3-mer Pearson, emb-PCA Wasserstein, on EMA samples. Oracle = loaded
+  checkpoint when given, else the synthetic motif oracle stand-in."""
+  from svdd_tpu import mdlm, rewards
+  from svdd_tpu.eval import validation
+
+  datasets = {}
+  for split in ('train', 'val'):
+    try:
+      datasets[split] = gosai.GosaiDataset(
+          split, length=cfg.model.length, data_dir=args.data_dir)
+    except Exception as exc:                           # noqa: BLE001
+      LOGGER.warning('sample-eval: no %s dataset (%s)', split, exc)
+  if not datasets:
+    return None
+
+  if args.eval_oracle_checkpoint_path:
+    from svdd_tpu.checkpoint import load_pytree
+    oracle = (rewards.RewardOracle.create_rna(cfg.model.length,
+                                              jax.random.key(0))
+              if cfg.task.startswith('rna') else
+              rewards.RewardOracle.create_dna(cfg.model.length,
+                                              jax.random.key(0)))
+    oracle.variables = load_pytree(args.eval_oracle_checkpoint_path,
+                                   oracle.variables)
+    apply_fn, ovars = oracle.as_pair()
+    oracle_fn = jax.jit(lambda oh: apply_fn(ovars, oh))
+  else:
+    LOGGER.warning('sample-eval: no --eval_oracle_checkpoint_path, '
+                   'using the synthetic motif oracle')
+    oracle_fn = rewards.synthetic_motif_oracle(cfg.model.length)
+
+  bs = min(cfg.loader.eval_batch_size, 64)
+
+  def hook(ema_variables, key):
+    return validation.distribution_eval(
+        model, ema_variables, datasets, key, oracle_fn=oracle_fn,
+        n_batches=2, batch_size=bs)
+
+  return hook
+
+
 def _train(cfg: Config, args) -> None:
   mesh = None
   n_dev = len(jax.devices())
@@ -82,14 +126,21 @@ def _train(cfg: Config, args) -> None:
       cfg, num_shards=num_shards, shard_index=shard_index,
       data_dir=args.data_dir, shard_data=args.shard_data)
   model = Diffusion(cfg, rng=jax.random.key(cfg.seed))
+  from svdd_tpu.observability import MetricsLogger
+  logger = MetricsLogger(log_dir=args.log_dir,
+                         run_name=f'{cfg.task}-pretrain')
+  sample_eval_fn = (None if args.no_sample_eval
+                    else _make_sample_eval_fn(cfg, args, model))
   trainer = train_diff.Trainer(model, cfg, mesh=mesh,
-                               ckpt_dir=args.ckpt_dir)
+                               ckpt_dir=args.ckpt_dir, logger=logger,
+                               sample_eval_fn=sample_eval_fn)
   state = trainer.init_or_restore(jax.random.key(cfg.seed), train_it)
   state = trainer.fit(state, train_it, valid_it,
                       num_steps=args.max_steps)
   if args.ckpt_dir:
     train_diff.save_checkpoint(args.ckpt_dir, state,
                                train_it.state_dict())
+  logger.finish()
 
 
 def _ppl_eval(cfg: Config, args) -> None:
@@ -161,6 +212,14 @@ def main() -> None:
                  help='each host reads only its contiguous 1/N row '
                       'shard of the CSV (native sharded reader) '
                       'instead of holding the full dataset per rank')
+  p.add_argument('--log_dir', default='./log',
+                 help='metrics JSONL output directory')
+  p.add_argument('--no_sample_eval', action='store_true', default=False,
+                 help='skip the in-training sample-quality validation '
+                      '(Wasserstein / k-mer / emb-PCA metrics)')
+  p.add_argument('--eval_oracle_checkpoint_path', default=None,
+                 help='reward-oracle checkpoint for the sample-quality '
+                      'metrics (falls back to the synthetic oracle)')
   p.add_argument('--gen_ppl_model', default=None,
                  help='HF causal-LM name/path for generative-perplexity '
                       'eval in sample_eval mode (e.g. gpt2; needs a '

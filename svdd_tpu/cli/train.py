@@ -52,6 +52,11 @@ def run(args) -> None:
         diffusion, reward_fn, args.batch_size, args.val_batch_num,
         jax.random.key(args.seed + 1))
 
+  from svdd_tpu.observability import MetricsLogger
+  logger = MetricsLogger(
+      log_dir=args.out_dir,
+      run_name=args.run_name
+      or f'{args.task}-{args.reward_name}-valuetrain')
   iters_done = 0
   while iters_done < tcfg.max_iter:
     chunk = min(args.eval_every, tcfg.max_iter - iters_done)
@@ -65,6 +70,14 @@ def run(args) -> None:
                   iters_done, losses[0], losses[len(losses) // 2],
                   losses[-1], pearsons[0], pearsons[len(pearsons) // 2],
                   pearsons[-1])
+      logger.log({'eval/mse_head': float(losses[0]),
+                  'eval/mse_mid': float(losses[len(losses) // 2]),
+                  'eval/mse_tail': float(losses[-1]),
+                  'eval/pearson_head': float(pearsons[0]),
+                  'eval/pearson_mid':
+                      float(pearsons[len(pearsons) // 2]),
+                  'eval/pearson_tail': float(pearsons[-1])},
+                 step=iters_done)
     if args.save_path:
       save_pytree(args.save_path,
                   {'params': state.params, **state.extras})
@@ -73,6 +86,7 @@ def run(args) -> None:
       trainer.save_state(args.save_state_path, state)
       LOGGER.info('saved full trainer state to %s',
                   args.save_state_path)
+  logger.finish()
 
 
 def _run_multisep(args, cfg, diffusion, reward_fn) -> None:

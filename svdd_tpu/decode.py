@@ -72,18 +72,28 @@ def _baseline(diffusion: Diffusion, reward_fn, batch_size: int,
               skip_best_of_n: bool = False, task: str = 'dna',
               saluki_body=None, saluki_final_length: int = 12288):
   """Unguided baseline + best-of-N (Enformer.py:456-476): draw
-  gen_batch_num*sample_M batches, keep the first gen_batch_num as the
-  baseline distribution, top-k(all, N/sample_M) as best-of-N."""
-  sampler = diffusion.sampler(batch_size)
+  gen_batch_num*sample_M batches worth of sequences, keep the first
+  gen_batch_num*batch_size as the baseline distribution,
+  top-k(all, N/sample_M) as best-of-N.
+
+  The reference runs these as sample_M*gen_batch_num SEQUENTIAL
+  full decodes; here they fold into max-size batched sampler calls
+  (the unguided decode is denoiser-only — far lighter than the guided
+  step that already runs B*M through the value net — so a much larger
+  batch fits). One compile, ~sample_M x fewer scan invocations."""
+  total = (gen_batch_num if skip_best_of_n
+           else gen_batch_num * sample_M) * batch_size
+  fold_cap = int(os.environ.get('SVDD_BASELINE_MAX_BATCH', '4096'))
+  big = min(total, max(batch_size, fold_cap // batch_size * batch_size))
+  n_calls = (total + big - 1) // big
+  sampler = diffusion.sampler(big)
   all_preds = []
-  n_batches = gen_batch_num if skip_best_of_n else (
-      gen_batch_num * sample_M)
-  for i in range(n_batches):
+  for i in range(n_calls):
     key, sub = jax.random.split(key)
     res = sampler(sub)
     all_preds.append(_score(reward_fn, res.samples, task,
-                             saluki_body, saluki_final_length))
-  all_preds = np.concatenate(all_preds)
+                            saluki_body, saluki_final_length))
+  all_preds = np.concatenate(all_preds)[:total]
   baseline = all_preds[:gen_batch_num * batch_size]
   k = max(1, len(all_preds) // sample_M)
   top_k = np.sort(all_preds)[-k:][::-1].copy()

@@ -119,10 +119,13 @@ def compute_generative_perplexity(
   metric = metric if metric is not None else PerplexityAggregate()
   eos = tokenizer.eos_token_id
   batch_size = min(batch_size, samples.shape[0])
-  num_batches = samples.shape[0] // batch_size
+  # the reference silently drops the tail remainder
+  # (diffusion_gosai.py:711-712); cover it instead — the metric is
+  # presented as covering all samples (ADVICE r1)
+  starts = range(0, samples.shape[0], batch_size)
   with torch.no_grad():
-    for i in range(num_batches):
-      rows = slice(i * batch_size, (i + 1) * batch_size)
+    for s in starts:
+      rows = slice(s, min(s + batch_size, samples.shape[0]))
       for chunk, mask_chunk in zip(
           torch.split(samples[rows], eval_context_size, dim=-1),
           torch.split(attn_mask[rows], eval_context_size, dim=-1)):

@@ -136,6 +136,42 @@ def test_multisep_training_converges(cfg):
   assert per_bin.shape == (2,)
 
 
+def test_fit_logs_metrics_and_sample_quality(cfg, tmp_path):
+  """Trainer.fit writes train/val rows AND the sample-quality metrics
+  (ws/kmer) through MetricsLogger when a sample_eval_fn is wired
+  (VERDICT r1 items 2+5: the reference computes these every validation
+  epoch, diffusion_gosai.py:451-565)."""
+  import json
+  from svdd_tpu import rewards
+  from svdd_tpu.eval import validation
+  from svdd_tpu.observability import MetricsLogger
+
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  ds = GosaiDataset('train', length=cfg.model.length)
+  it = FaultTolerantIterator(ds, 8, seed=0)
+  logger = MetricsLogger(log_dir=str(tmp_path), run_name='t')
+  oracle_fn = rewards.synthetic_motif_oracle(cfg.model.length)
+
+  def sample_eval_fn(ema_vars, key):
+    return validation.distribution_eval(
+        model, ema_vars, {'train': ds}, key, oracle_fn=oracle_fn,
+        n_batches=1, batch_size=8, subset_size=32)
+
+  trainer = train_diff.Trainer(model, cfg, logger=logger,
+                               sample_eval_fn=sample_eval_fn)
+  state = trainer.init_or_restore(jax.random.key(1))
+  trainer.fit(state, it, valid_iter=FaultTolerantIterator(ds, 8, seed=1),
+              num_steps=4, log_every=2, eval_every=4, ckpt_every=10**9)
+  logger.finish()
+
+  rows = [json.loads(l) for l in open(logger.path)]
+  keys = set().union(*[set(r) for r in rows])
+  assert 'train/loss' in keys
+  assert 'val/nll' in keys
+  assert 'kmer_pearson' in keys
+  assert any(k.startswith('ws/') for k in keys)
+
+
 def test_checkpoint_roundtrip(cfg, tmp_path):
   model = Diffusion(cfg, rng=jax.random.key(0))
   trainer = train_diff.Trainer(model, cfg, ckpt_dir=str(tmp_path))
