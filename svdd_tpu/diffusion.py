@@ -243,21 +243,32 @@ class Diffusion:
 
   def _jit_sampler(self, build_step, batch_size, num_steps, eps,
                    variables=None, extra_vars=(), mesh=None,
-                   collect_mid=False, collect_aux=False):
+                   collect_mid=False, collect_aux=False, tp=False):
     """build_step(denoise, extra_vars) -> (step_fn, aux_init),
     called inside the traced function so every captured array is a
-    traced jit argument."""
+    traced jit argument.
+
+    With a mesh, the scan carry pins to P('data') and the folded
+    (B*M,) candidate rows to ALL devices (candidate_sharding) — unless
+    ``tp=True``, where the value net is weight-sharded over 'model'
+    (mesh.tp_shard_value_params) so candidates stay on 'data' only."""
     den_vars = self.variables if variables is None else variables
-    shard = None
+    shard = shard_flat = None
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
+      from svdd_tpu.parallel import mesh as M
       sharding = NamedSharding(mesh, P('data', None))
       shard = lambda x: jax.lax.with_sharding_constraint(x, sharding)
+      flat_sharding = (NamedSharding(mesh, P('data', None)) if tp
+                       else M.candidate_sharding(mesh))
+      shard_flat = lambda x: jax.lax.with_sharding_constraint(
+          x, flat_sharding)
     base = self._base_kwargs(batch_size, num_steps, eps)
 
     def sample(den_vars, extra_vars, key):
       denoise = lambda x, sigma: self.forward(den_vars, x, sigma)
-      step_fn, aux_init = build_step(denoise, den_vars, extra_vars)
+      step_fn, aux_init = build_step(denoise, den_vars, extra_vars,
+                                     shard_flat)
       fn = S.reverse_process(
           step_fn, denoise, self.schedule,
           collect_mid=collect_mid, collect_aux=collect_aux,
@@ -287,7 +298,7 @@ class Diffusion:
     diffusion_gosai.py:821-936). Returns jitted key -> SampleResult."""
     pred = self.config.sampling.predictor
 
-    def build(denoise, den_vars, extra):
+    def build(denoise, den_vars, extra, shard_flat=None):
       if pred == 'ddpm':
         return S.ddpm_step(denoise, self.schedule, self.mask_index), ()
       if pred == 'ddpm_cache':
@@ -312,7 +323,7 @@ class Diffusion:
     stacks all per-step candidate rollouts (steps, B, M, L) and whose
     mid_x stacks trajectory states."""
 
-    def build(denoise, den_vars, extra):
+    def build(denoise, den_vars, extra, shard_flat=None):
       aux_init = jnp.zeros(
           (batch_size, repeats, self.config.model.length), jnp.int32)
       return G.cdq_step(denoise, self.schedule, self.mask_index,
@@ -325,19 +336,25 @@ class Diffusion:
   def controlled_sampler(self, value_fn, batch_size: int, *,
                          sample_M: int = 10, num_steps: int | None = None,
                          eps: float = 1e-5, variables: Any | None = None,
-                         mesh: Any = None):
+                         mesh: Any = None, tp: bool = False):
     """SVDD-MC (controlled_sample, diffusion_gosai.py:1022-1062).
-    ``value_fn``: tokens->(N,) callable, or (apply_fn, variables)."""
+    ``value_fn``: tokens->(N,) callable, or (apply_fn, variables).
+
+    With a mesh, the folded B*M candidate batch is sharded over ALL
+    devices (candidate_sharding). ``tp=True`` instead weight-shards the
+    value net over the 'model' axis (pass value variables through
+    mesh.tp_shard_value_params) and keeps candidates on 'data'."""
     apply_fn, val_vars = self._hoist(value_fn)
 
-    def build(denoise, den_vars, val_vars):
+    def build(denoise, den_vars, val_vars, shard_flat=None):
       vfn = lambda tokens: apply_fn(val_vars, tokens)
       return G.svdd_mc_step(denoise, vfn, self.schedule,
-                            self.mask_index, repeats=sample_M), ()
+                            self.mask_index, repeats=sample_M,
+                            shard_flat=shard_flat), ()
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=val_vars,
-                             mesh=mesh)
+                             mesh=mesh, tp=tp)
 
   def controlled_sampler_timed(self, value_fn_timed, batch_size: int, *,
                                sample_M: int = 10,
@@ -349,11 +366,12 @@ class Diffusion:
     steps = num_steps or self.config.sampling.steps
     apply_fn, val_vars = self._hoist(value_fn_timed)
 
-    def build(denoise, den_vars, val_vars):
+    def build(denoise, den_vars, val_vars, shard_flat=None):
       vfn = lambda tokens, step_idx: apply_fn(val_vars, tokens, step_idx)
       return G.svdd_mc_step_timed(denoise, vfn, self.schedule,
                                   self.mask_index, steps, eps,
-                                  repeats=sample_M), ()
+                                  repeats=sample_M,
+                                  shard_flat=shard_flat), ()
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=val_vars,
@@ -370,13 +388,14 @@ class Diffusion:
     builder (:1426-1428)."""
     apply_fn, rew_vars = self._hoist(reward_fn)
 
-    def build(denoise, den_vars, rew_vars):
+    def build(denoise, den_vars, rew_vars, shard_flat=None):
       rfn = lambda onehot: apply_fn(rew_vars, onehot)
       return G.svdd_pm_step(denoise, rfn, self.schedule,
                             self.mask_index, repeats=sample_M,
                             tweedie=tweedie, task=task,
                             saluki_body=saluki_body,
-                            saluki_final_length=saluki_final_length), ()
+                            saluki_final_length=saluki_final_length,
+                            shard_flat=shard_flat), ()
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=rew_vars,
@@ -388,7 +407,7 @@ class Diffusion:
     """TDS SMC baseline (controlled_sample_TDS, diffusion_gosai.py:938-978)."""
     apply_fn, rew_vars = self._hoist(reward_fn)
 
-    def build(denoise, den_vars, rew_vars):
+    def build(denoise, den_vars, rew_vars, shard_flat=None):
       rfn = lambda onehot: apply_fn(rew_vars, onehot)
       return G.tds_step(denoise, rfn, self.schedule, self.mask_index,
                         alpha=alpha), ()
@@ -404,7 +423,7 @@ class Diffusion:
     """DPS baseline (controlled_sample_DPS, diffusion_gosai.py:980-1020)."""
     apply_fn, rew_vars = self._hoist(reward_fn)
 
-    def build(denoise, den_vars, rew_vars):
+    def build(denoise, den_vars, rew_vars, shard_flat=None):
       rfn = lambda onehot: apply_fn(rew_vars, onehot)
       donehot = lambda oh, x, sigma: self.forward_onehot(den_vars, oh,
                                                          x, sigma)
@@ -423,7 +442,7 @@ class Diffusion:
     diffusion_gosai.py:1064-1104)."""
     apply_fn, val_vars = self._hoist(value_fn_onehot)
 
-    def build(denoise, den_vars, val_vars):
+    def build(denoise, den_vars, val_vars, shard_flat=None):
       vfn = lambda onehot: apply_fn(val_vars, onehot)
       return G.classifier_step(denoise, vfn, self.schedule,
                                self.mask_index,

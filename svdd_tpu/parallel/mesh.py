@@ -102,6 +102,99 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
       lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
+def candidate_sharding(mesh: Mesh) -> NamedSharding:
+  """Shard the FLAT (B*M, ...) candidate batch over ALL mesh devices
+  (data AND model axes). The guided step's value/reward forward is
+  row-independent, so splitting the folded candidate dim across every
+  device scales it with zero intra-layer collectives — only the tiny
+  (B, M) score gather at the argmax select crosses devices. This is the
+  'fully-sharded B*M candidate dim' promised above."""
+  return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+
+
+def _tp_dim(shape, dim: int, n_model: int) -> Optional[P]:
+  if n_model <= 1 or not shape:
+    return None
+  dim = dim % len(shape)
+  if shape[dim] % n_model:
+    return None
+  spec = [None] * len(shape)
+  spec[dim] = MODEL_AXIS
+  return P(*spec)
+
+
+def tp_value_spec(path_names: tuple, leaf, n_model: int) -> P:
+  """Megatron-style tensor-parallel PartitionSpec for one Enformer
+  value-net parameter (path from tree_flatten_with_path).
+
+  The transformer tower + pointwise head carry the 1536-wide matmuls
+  (mesh docstring above); they get the classic column/row alternation
+  so each block needs exactly one psum after attention and one after
+  the FFN (inserted by GSPMD):
+
+    to_q/to_k/to_v/to_rel_k  : column (head dim)    + rel biases on h
+    to_out                   : row
+    FFN LinearBlock_0 Dense  : column (+bias)
+    FFN LinearBlock_1 Dense  : row
+    pointwise conv           : column (+bias)
+    ConvHead 1x1 conv        : row
+
+  The conv tower stays replicated BY DESIGN: channel-sharding its convs
+  would all-gather a full (B*M, L, C) activation per layer over ICI —
+  orders of magnitude more bytes than the Megatron psums — while the
+  candidate-dim sharding already scales it with zero comms. Handles the
+  nn.scan leading stacked-layer dim transparently (rules index dims
+  from the END)."""
+  names = [str(n) for n in path_names]
+  joined = '/'.join(names)
+  shape = getattr(leaf, 'shape', ())
+
+  def col():
+    return _tp_dim(shape, -1, n_model)
+  def row():
+    return _tp_dim(shape, -2, n_model)
+
+  spec = None
+  if names[-1] == 'kernel':
+    if any(k in names for k in ('to_q', 'to_k', 'to_v', 'to_rel_k')):
+      spec = col()
+    elif 'to_out' in names:
+      spec = row()
+    elif 'LinearBlock_0' in joined and 'Dense_0' in names:
+      spec = col()
+    elif 'LinearBlock_1' in joined and 'Dense_0' in names:
+      spec = row()
+    elif 'pointwise' in names and 'Conv1D_0' in names:
+      spec = col()
+    elif 'ConvHead_0' in joined and len(shape) >= 2:
+      spec = row()
+  elif names[-1] == 'bias':
+    if ('LinearBlock_0' in joined and 'Dense_0' in names) or \
+       ('pointwise' in names and 'Conv1D_0' in names):
+      spec = col()
+  elif names[-1] in ('rel_content_bias', 'rel_pos_bias'):
+    spec = _tp_dim(shape, -3, n_model)      # (..., 1, h, 1, dk)
+  return spec if spec is not None else P()
+
+
+def tp_value_shardings(variables: Any, mesh: Mesh) -> Any:
+  """NamedSharding tree for tensor-parallel Enformer value params."""
+  from jax.tree_util import tree_flatten_with_path, tree_unflatten
+  n_model = mesh.shape[MODEL_AXIS]
+  flat, treedef = tree_flatten_with_path(variables)
+  specs = [NamedSharding(
+      mesh, tp_value_spec(tuple(getattr(k, 'key', getattr(k, 'idx', k))
+                                for k in path), leaf, n_model))
+           for path, leaf in flat]
+  return tree_unflatten(treedef, specs)
+
+
+def tp_shard_value_params(variables: Any, mesh: Mesh) -> Any:
+  """device_put value-net variables with Megatron TP shardings."""
+  shardings = tp_value_shardings(variables, mesh)
+  return jax.tree.map(jax.device_put, variables, shardings)
+
+
 def local_shard_info(mesh: Optional[Mesh] = None):
   """(num_shards, shard_index) for the data iterator: one shard per
   process (multi-host), all devices fed via shard_batch."""

@@ -79,9 +79,13 @@ def _select_best(candidates: Array, scores: Array) -> Array:
 
 def svdd_mc_step(denoise_fn: DenoiseFn, value_fn: ValueFn,
                  schedule: Schedule, mask_index: int,
-                 repeats: int = 10) -> StepFn:
+                 repeats: int = 10, shard_flat=None) -> StepFn:
   """SVDD-MC: M candidates -> value net -> argmax select
-  (_ddpm_update_finetune_controlled, diffusion_gosai.py:1175-1228)."""
+  (_ddpm_update_finetune_controlled, diffusion_gosai.py:1175-1228).
+
+  ``shard_flat`` pins the folded (B*M, L) candidate batch to a mesh
+  sharding (parallel/mesh.candidate_sharding) so the value forward
+  splits across all devices."""
 
   def step(aux, x, t, t_next, key):
     b, l = x.shape
@@ -89,8 +93,10 @@ def svdd_mc_step(denoise_fn: DenoiseFn, value_fn: ValueFn,
     log_p = denoise_fn(x, jnp.full((b,), sigma_t))
     log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
     candidates = _draw_candidates(key, log_q, x, mask_index, repeats)
-    scores = value_fn(candidates.reshape(b * repeats, l))
-    scores = scores.reshape(b, repeats)
+    flat = candidates.reshape(b * repeats, l)
+    if shard_flat is not None:
+      flat = shard_flat(flat)
+    scores = value_fn(flat).reshape(b, repeats)
     return aux, _select_best(candidates, scores)
 
   return step
@@ -99,7 +105,7 @@ def svdd_mc_step(denoise_fn: DenoiseFn, value_fn: ValueFn,
 def svdd_mc_step_timed(denoise_fn: DenoiseFn, value_fn_timed,
                        schedule: Schedule, mask_index: int,
                        num_steps: int, eps: float = 1e-5,
-                       repeats: int = 10) -> StepFn:
+                       repeats: int = 10, shard_flat=None) -> StepFn:
   """SVDD-MC with a step-indexed value function — serves the
   timed / multisep value models (reference TimedEnformerTrunk and
   BaseModelMultiSep, Enformer.py:1202-1268, :867-1102).
@@ -117,8 +123,10 @@ def svdd_mc_step_timed(denoise_fn: DenoiseFn, value_fn_timed,
     candidates = _draw_candidates(key, log_q, x, mask_index, repeats)
     step_idx = jnp.round(
         (1.0 - t) * num_steps / (1.0 - eps)).astype(jnp.int32)
-    scores = value_fn_timed(candidates.reshape(b * repeats, l),
-                            step_idx).reshape(b, repeats)
+    flat = candidates.reshape(b * repeats, l)
+    if shard_flat is not None:
+      flat = shard_flat(flat)
+    scores = value_fn_timed(flat, step_idx).reshape(b, repeats)
     return aux, _select_best(candidates, scores)
 
   return step
@@ -141,7 +149,8 @@ def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
                  repeats: int = 10, tweedie: bool = True,
                  task: str = 'dna',
                  saluki_body=None,
-                 saluki_final_length: int = 12288) -> StepFn:
+                 saluki_final_length: int = 12288,
+                 shard_flat=None) -> StepFn:
   """SVDD-PM: M candidates -> posterior-mean (Tweedie) reward -> select
   (_ddpm_update_finetune_controlled_twedie, diffusion_gosai.py:1374-1460).
 
@@ -159,6 +168,8 @@ def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
     log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
     candidates = _draw_candidates(key, log_q, x, mask_index, repeats)
     flat = candidates.reshape(b * repeats, l)
+    if shard_flat is not None:
+      flat = shard_flat(flat)
     if tweedie:
       onehot = _tweedie_posterior_onehot(
           denoise_fn, flat, jnp.full((b * repeats,), sigma_s),

@@ -91,6 +91,95 @@ def test_guided_decode_under_mesh():
   assert (x >= 0).all() and (x < 4).all()
 
 
+def _tiny_enformer_value(length=24):
+  from svdd_tpu import mdlm
+  from svdd_tpu.models.enformer import EnformerValueModel
+  vm = EnformerValueModel(n_tasks=1, n_conv=3, channels=256,
+                          n_transformers=2, n_heads=2, key_len=8)
+  vv = jax.jit(vm.init)(jax.random.key(5),
+                        jnp.zeros((1, length, 4)))
+  def apply_fn(variables, tokens):
+    return vm.apply(variables, mdlm.transform_samples(tokens))
+  return apply_fn, vv
+
+
+def test_tp_value_params_actually_shard():
+  """Megatron TP rules place the transformer matmuls on 'model'
+  (mesh.py's own promise; VERDICT r1 item 3)."""
+  _, vv = _tiny_enformer_value()
+  mesh = M.make_mesh(data=4, model=2)
+  tp_vars = M.tp_shard_value_params(vv, mesh)
+
+  def find(tree, *names):
+    cur = tree
+    for n in names:
+      cur = cur[n]
+    return cur
+
+  tb = find(tp_vars, 'params', 'EnformerTrunk_0', 'transformer_stack',
+            'EnformerTransformerBlock_0')
+  to_v = tb['EnformerAttention_0']['to_v']['kernel']     # (2, 256, 256)
+  assert {s.data.shape for s in to_v.addressable_shards} == \
+      {(2, 256, 128)}, 'to_v must be column-sharded over model'
+  to_out = tb['EnformerAttention_0']['to_out']['kernel']
+  assert {s.data.shape for s in to_out.addressable_shards} == \
+      {(2, 128, 256)}, 'to_out must be row-sharded over model'
+  ffn0 = tb['FeedForwardBlock_0']['LinearBlock_0']['Dense_0']['kernel']
+  assert {s.data.shape for s in ffn0.addressable_shards} == \
+      {(2, 256, 256)}   # (2, 256, 512) column-sharded
+  ffn1 = tb['FeedForwardBlock_0']['LinearBlock_1']['Dense_0']['kernel']
+  assert {s.data.shape for s in ffn1.addressable_shards} == \
+      {(2, 256, 256)}   # (2, 512, 256) row-sharded
+  pw = find(tp_vars, 'params', 'EnformerTrunk_0', 'pointwise',
+            'Conv1D_0', 'kernel')
+  assert {s.data.shape for s in pw.addressable_shards} == \
+      {(1, 256, 256)}   # (1, 256, 512) column-sharded
+  # conv tower stays replicated by design (see tp_value_spec docstring)
+  stem = find(tp_vars, 'params', 'EnformerTrunk_0',
+              'EnformerConvTower_0', 'stem_conv', 'kernel')
+  assert {s.data.shape for s in stem.addressable_shards} == \
+      {(15, 4, 128)}
+
+
+def test_tp_guided_decode_matches_unsharded():
+  """2-way model-sharded (weight-TP) guided decode reproduces the
+  single-device tokens exactly."""
+  cfg = tiny_test_config('dna')
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  apply_fn, vv = _tiny_enformer_value(cfg.model.length)
+
+  ref = model.controlled_sampler((apply_fn, vv), 8, sample_M=2,
+                                 num_steps=4)
+  want = np.asarray(ref(jax.random.key(2)).samples)
+
+  mesh = M.make_mesh(data=4, model=2)
+  tp_vars = M.tp_shard_value_params(vv, mesh)
+  tp = model.controlled_sampler((apply_fn, tp_vars), 8, sample_M=2,
+                                num_steps=4, mesh=mesh, tp=True)
+  with mesh:
+    got = np.asarray(tp(jax.random.key(2)).samples)
+  np.testing.assert_array_equal(got, want)
+
+
+def test_candidate_sharded_decode_matches_unsharded():
+  """Default mesh path: folded B*M candidates sharded over all 8
+  devices; numerics match single-device."""
+  cfg = tiny_test_config('dna')
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  apply_fn, vv = _tiny_enformer_value(cfg.model.length)
+
+  ref = model.controlled_sampler((apply_fn, vv), 8, sample_M=2,
+                                 num_steps=4)
+  want = np.asarray(ref(jax.random.key(3)).samples)
+
+  mesh = M.make_mesh(data=4, model=2)
+  sh = model.controlled_sampler((apply_fn, vv), 8, sample_M=2,
+                                num_steps=4, mesh=mesh)
+  with mesh:
+    got = np.asarray(sh(jax.random.key(3)).samples)
+  np.testing.assert_array_equal(got, want)
+
+
 def test_batch_sharding_layout():
   mesh = M.make_mesh()
   batch = {'seqs': jnp.zeros((16, 8), jnp.int32)}
