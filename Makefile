@@ -3,7 +3,20 @@
 
 CPU_ENV := env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
 
-.PHONY: test test-fast bench bench-small demo-rna demo-dna native lint
+.PHONY: test test-fast bench bench-small demo-rna demo-dna native lint \
+        parity parity-fixtures
+
+parity:           # real reference artifacts under SVDD_ARTIFACTS_DIR,
+                  # data under SVDD_DATA_DIR; runs on the TPU
+	python scripts/parity_harness.py --task dna
+	python scripts/parity_harness.py --task rna
+
+parity-fixtures:  # offline end-to-end smoke on generated mock torch
+                  # checkpoints (RNA-size, CPU)
+	$(CPU_ENV) python scripts/parity_harness.py --make_fixtures \
+	    --task rna --num_steps 6 --batch_size 8 --sample_M 2 \
+	    --val_batch_num 1 --artifacts_dir /tmp/mock_artifacts \
+	    --out_dir ./log/parity-fixtures
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -q

@@ -117,16 +117,16 @@ def load_diffusion(args, cfg: Config) -> Diffusion:
     prefix = _torch_prefix(sd, ('backbone.', 'module.backbone.'))
     sd = {k[len(prefix):]: v for k, v in sd.items()
           if k.startswith(prefix)}
-    if cfg.model.backbone == 'cnn':
+    if cfg.backbone == 'cnn':
       from svdd_tpu.importers.cnn import import_cnn_params
       model.variables = import_cnn_params(
           sd, num_layers=5 * cfg.model.num_cnn_stacks)
-    elif cfg.model.backbone == 'dit':
+    elif cfg.backbone == 'dit':
       from svdd_tpu.importers.dit import import_dit_params
       model.variables = import_dit_params(sd, n_blocks=cfg.model.n_blocks)
     else:
       raise NotImplementedError(
-          f'torch import for backbone {cfg.model.backbone}')
+          f'torch import for backbone {cfg.backbone}')
     LOGGER.info('imported torch diffusion ckpt %s', path)
   elif path:
     model.variables = load_pytree(path, model.variables)
@@ -176,9 +176,25 @@ def load_reward_fn(args, cfg: Config):
       oracle = rewards.RewardOracle.create_rna(cfg.model.length, key)
     else:
       oracle = rewards.RewardOracle.create_dna(cfg.model.length, key)
-    oracle.variables = load_pytree(args.reward_checkpoint_path,
-                                   oracle.variables)
-    LOGGER.info('loaded reward oracle %s', args.reward_checkpoint_path)
+    path = args.reward_checkpoint_path
+    if _is_torch_ckpt(path):
+      # grelu LightningModel oracle ckpts (Enformer.py:104-133) carry
+      # the same trunk layouts as the value nets under a 'model.'
+      # prefix — reuse the value-model importers
+      from svdd_tpu.checkpoint import import_torch_state_dict
+      sd = import_torch_state_dict(path)
+      prefix = _torch_prefix(sd, ('model.', 'module.', ''))
+      if args.task == 'rna':
+        from svdd_tpu.importers.convgru import import_convgru_value_model
+        oracle.variables = import_convgru_value_model(sd, prefix=prefix)
+      else:
+        from svdd_tpu.importers.enformer import (
+            import_enformer_value_model)
+        oracle.variables = import_enformer_value_model(sd, prefix=prefix)
+      LOGGER.info('imported torch reward oracle %s', path)
+    else:
+      oracle.variables = load_pytree(path, oracle.variables)
+      LOGGER.info('loaded reward oracle %s', path)
     return oracle.as_pair()
   LOGGER.warning('no --reward_checkpoint_path: using synthetic motif '
                  'oracle')
