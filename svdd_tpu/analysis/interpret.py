@@ -123,10 +123,47 @@ def run_modisco(attributions: np.ndarray, onehots: np.ndarray,
   return pos_patterns, neg_patterns
 
 
-def get_attention_scores(attn_logits_fn: Callable[[Array], Array],
-                         onehot: Array) -> np.ndarray:
-  """Attention-map extraction (score.py get_attention_scores:393-437):
-  callers pass a closure returning per-head softmax attention for a
-  chosen block; here that is just an apply with
-  ``capture_intermediates`` — see EnformerAttention."""
-  return np.asarray(attn_logits_fn(onehot))
+def get_attention_scores(module, variables, onehot: Array,
+                         block_idx: Optional[int] = None) -> np.ndarray:
+  """Attention-map extraction (score.py get_attention_scores:393-437).
+
+  Applies an Enformer value/trunk module with
+  ``mutable=['intermediates']``; EnformerAttention sows its softmax
+  weights (models/enformer.py). Returns (Layers, Heads, L', L') for a
+  single input sequence (batch squeezed), or (Heads, L', L') when
+  ``block_idx`` selects one transformer layer — the reference's exact
+  return contract.
+  """
+  if onehot.ndim == 2:
+    onehot = onehot[None]
+  _, inter = module.apply(variables, onehot, mutable=['intermediates'])
+
+  import re
+
+  def natkey(s):
+    return [int(t) if t.isdigit() else t
+            for t in re.split(r'(\d+)', str(s))]
+
+  maps = []
+  def collect(tree):
+    if isinstance(tree, dict):
+      for k in sorted(tree, key=natkey):
+        if k == 'attention':
+          maps.extend(tree[k] if isinstance(tree[k], (tuple, list))
+                      else [tree[k]])
+        else:
+          collect(tree[k])
+  collect(inter)
+  if not maps:
+    raise ValueError('no attention maps sown — module has no '
+                     'EnformerAttention layers')
+  stacked = []
+  for m in maps:
+    m = np.asarray(m)
+    # scan-over-layers tower sows one stacked (Layers, B, H, L, L);
+    # unscanned towers sow (B, H, L, L) per block
+    stacked.extend(m if m.ndim == 5 else [m])
+  attn = np.stack(stacked)                     # (Layers, B, H, L, L)
+  if attn.shape[1] == 1:
+    attn = attn[:, 0]                          # reference squeeze(0)
+  return attn[block_idx] if block_idx is not None else attn

@@ -85,7 +85,7 @@ class AttentionPool(nn.Module):
   pool_size: int = 2
 
   @nn.compact
-  def __call__(self, x: Array) -> Array:   # (B, L, C)
+  def __call__(self, x: Array, defer: bool = False):   # (B, L, C)
     b, n, c = x.shape
     p = self.pool_size
     remainder = n % p
@@ -103,11 +103,22 @@ class AttentionPool(nn.Module):
       x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
       logits = jnp.pad(logits, ((0, 0), (0, pad), (0, 0)),
                        constant_values=jnp.finfo(x.dtype).min)
-    # NB: a "pairwise softmax == sigmoid blend" rewrite (x1+(x0-x1)*
-    # sig(l0-l1) via strided ::2 slices) was tried and measured 28%
-    # SLOWER end-to-end on v5e: stride-2 slices along L cross the
-    # (8,128) tiling and force relayouts, while XLA already fuses this
-    # softmax chain reasonably. Keep the grouped-softmax form.
+    if defer and p == 2:
+      # deferred-pool handoff: the consumer (the next k=5 NACDR
+      # ConvBlock) runs the fused pool+prologue+im2col mega kernel
+      # (ops/attn_pool_pallas.pool_prologue_im2col) so the pooled
+      # array never hits HBM
+      return x, logits
+    if p == 2:
+      # fused softmax-sum kernel: one VMEM pass over x+logits instead
+      # of XLA's three bandwidth-bound passes (~35 ms/step of the
+      # B=512 guided decode, trace r2-b512). In-kernel the pairwise
+      # softmax is a sigmoid blend over a (B, L/2, 2C) lane-split view
+      # (ops/attn_pool_pallas.py; the earlier XLA-level ::2 strided
+      # rewrite that measured 28% slower is unrelated — Pallas controls
+      # the layout so no relayouts happen).
+      from svdd_tpu.ops.attn_pool_pallas import attn_pool_fused
+      return attn_pool_fused(x, logits)
     xg = x.reshape(b, -1, p, c)
     lg = logits.reshape(b, -1, p, c)
     attn = jax.nn.softmax(lg, axis=2)
@@ -121,7 +132,7 @@ class Pool(nn.Module):
   in_channels: Optional[int] = None
 
   @nn.compact
-  def __call__(self, x: Array) -> Array:
+  def __call__(self, x: Array, defer: bool = False):
     if self.func is None:
       return x
     p = self.pool_size
@@ -130,7 +141,8 @@ class Pool(nn.Module):
     if self.func == 'max':
       return nn.max_pool(x, (p,), strides=(p,))
     if self.func == 'attn':
-      return AttentionPool(dim=self.in_channels, pool_size=p)(x)
+      return AttentionPool(dim=self.in_channels, pool_size=p)(
+          x, defer=defer)
     raise NotImplementedError(self.func)
 
 
@@ -178,13 +190,17 @@ class ConvBlock(nn.Module):
   order: str = 'CDNRA'
 
   @nn.compact
-  def __call__(self, x: Array, train: bool = False) -> Array:
+  def __call__(self, x, train: bool = False,
+               defer_pool: bool = False):
     assert sorted(self.order) == list('ACDNR'), self.order
+    deferred = isinstance(x, tuple)      # (r, logits) from a deferred
+    x_dtype = x[0].dtype if deferred else x.dtype     # attention pool
     if self.residual:
+      assert not deferred, 'deferred pool input + residual unsupported'
       x_input = ChannelTransform(self.in_channels, self.out_channels)(x)
     norm = Norm('batch' if self.norm else None)
     conv = Conv1D(self.out_channels, self.kernel_size,
-                  dilation=self.dilation, dtype=x.dtype)
+                  dilation=self.dilation, dtype=x_dtype)
     drop = nn.Dropout(self.dropout, deterministic=not train)
 
     # NACDR eval fast path: norm -> act -> conv collapses into the
@@ -193,18 +209,29 @@ class ConvBlock(nn.Module):
     # norm module with 0/1 inputs (keeps the param tree untouched).
     if (use_fused_nacdr() and self.order == 'NACDR' and self.norm
         and not train and self.kernel_size > 1 and self.dilation == 1):
-      c_in = x.shape[-1]
+      c_in = x[0].shape[-1] if deferred else x.shape[-1]
       probe = jnp.concatenate(
           [jnp.zeros((1, 1, c_in), jnp.float32),
            jnp.ones((1, 1, c_in), jnp.float32)], axis=1)
       bn = norm(probe, train=False)
       shift, scale = bn[0, 0], bn[0, 1] - bn[0, 0]
-      y = conv(x, prologue=(scale, shift, self.act_func))
+      if deferred:
+        # pool blend + THIS block's BN affine + act + im2col in one
+        # VMEM pass; the conv collapses to a single stacked matmul
+        from svdd_tpu.ops.attn_pool_pallas import pool_prologue_im2col
+        r, logits = x
+        cols = pool_prologue_im2col(r, logits, scale, shift,
+                                    self.kernel_size, self.act_func)
+        y = conv(None, precols=cols)
+      else:
+        y = conv(x, prologue=(scale, shift, self.act_func))
       if self.residual:
         y = y + x_input                      # D is inert at eval
       return Pool(self.pool_func, self.pool_size,
-                  in_channels=self.out_channels)(y)
+                  in_channels=self.out_channels)(y, defer=defer_pool)
 
+    assert not deferred, ('deferred pool input requires the NACDR '
+                          'eval fast path')
     for name in self.order:
       if name == 'C':
         x = conv(x)
@@ -218,7 +245,7 @@ class ConvBlock(nn.Module):
       elif name == 'A':
         x = activation(self.act_func, x)
     return Pool(self.pool_func, self.pool_size,
-                in_channels=self.out_channels)(x)
+                in_channels=self.out_channels)(x, defer=defer_pool)
 
 
 class ChannelTransformBlock(nn.Module):

@@ -165,6 +165,10 @@ class EnformerAttention(nn.Module):
     attn = jax.nn.softmax(
         (content_logits + rel_logits).astype(jnp.float32),
         axis=-1).astype(x.dtype)
+    # attention-map extraction hook (reference score.py
+    # get_attention_scores:393-437): a no-op unless the caller applies
+    # with mutable=['intermediates'] (analysis/interpret.py)
+    self.sow('intermediates', 'attention', attn)
     out = jnp.einsum('bhij,bhjd->bhid', attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dv)
     return nn.Dense(self.dim, dtype=x.dtype, name='to_out')(out)
@@ -206,15 +210,24 @@ class EnformerConvTower(nn.Module):
   def __call__(self, x: Array, train: bool = False) -> Array:
     half = self.out_channels // 2
     from svdd_tpu.ops.conv1d import Conv1D
+    # deferred-pool pipeline (eval only): each attention pool hands
+    # (r, logits) to the NEXT k=5 NACDR conv, whose fused path runs
+    # pool-blend + BN-affine + act + im2col in one Pallas kernel
+    # (ops/attn_pool_pallas.pool_prologue_im2col) — only pure matmuls
+    # touch HBM between kernels. The LAST pool feeds the transformer
+    # and materializes normally.
+    defer = blocks.use_fused_nacdr() and not train
     x = Conv1D(half, 15, dtype=x.dtype, name='stem_conv')(x)
     x = blocks.ConvBlock(
         in_channels=half, out_channels=half, kernel_size=1,
         act_func='gelu_enformer', residual=True, order='NACDR',
-        pool_func='attn', pool_size=2, name='stem_block')(x, train=train)
+        pool_func='attn', pool_size=2, name='stem_block')(
+            x, train=train, defer_pool=defer)
 
     filters = [half] + exponential_linspace_int(
         half, self.out_channels, num=self.n_blocks - 1, divisible_by=128)
     for i in range(1, self.n_blocks):
+      last = i == self.n_blocks - 1
       x = blocks.ConvBlock(
           in_channels=filters[i - 1], out_channels=filters[i],
           kernel_size=5, act_func='gelu_enformer', residual=False,
@@ -223,7 +236,8 @@ class EnformerConvTower(nn.Module):
           in_channels=filters[i], out_channels=filters[i],
           kernel_size=1, act_func='gelu_enformer', residual=True,
           order='NACDR', pool_func='attn', pool_size=2,
-          name=f'pool_{i}')(x, train=train)
+          name=f'pool_{i}')(x, train=train,
+                            defer_pool=defer and not last)
     return x
 
 
@@ -267,7 +281,8 @@ class EnformerTrunk(nn.Module):
       unroll = int(os.environ.get('SVDD_UNROLL_TOWER', '1'))
       scanner = nn.scan(
           _ScanBody,
-          variable_axes={'params': 0, 'batch_stats': 0},
+          variable_axes={'params': 0, 'batch_stats': 0,
+                         'intermediates': 0},
           split_rngs={'params': True, 'dropout': True},
           length=self.n_transformers,
           unroll=min(unroll, self.n_transformers))

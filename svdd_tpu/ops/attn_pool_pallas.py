@@ -1,0 +1,308 @@
+"""Fused Enformer attention-pool (pool_size=2) Pallas kernel.
+
+The value tower pools with enformer_pytorch-style attention pooling
+(reference Enformer.py:2416-2460 via models/blocks.py:AttentionPool):
+
+    logits = x @ W                    # (B, L, C), XLA matmul (MXU)
+    out[b,i,c] = softmax over {x[2i], x[2i+1]} weighted sum
+
+Under XLA the softmax-sum chain runs as three bandwidth-bound passes
+over the (B, L, C) pair view (trace r2-b512: reduce + two loop fusions,
+~35 ms/step of the B=512 SVDD-MC decode across the tower's 7 pools).
+This kernel reads x and logits ONCE into VMEM and writes the pooled
+output — the bandwidth floor.
+
+Key trick (probe scripts/probe_attnpool_kernel.py): a pairwise softmax
+is a sigmoid blend, out = x1 + (x0-x1)*sigmoid(l0-l1), and the pair
+members sit ADJACENT along L, so the row-major in-VMEM reshape
+(tn, l, c) -> (tn, l/2, 2c) exposes them as lane-dim halves — Mosaic
+compiles that reshape + multiple-of-128 lane slices cleanly (measured
+3.4x the XLA chain), whereas strided slices along L ("Only 2D gather")
+and sublane-split reshapes both fail to lower.
+
+Odd lengths: the caller pads x with zeros and logits with -inf to even
+L first (same masking the reference applies, blocks.py:102-105).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def attn_pool_reference(x: Array, logits: Array) -> Array:
+  """Grouped-softmax reference (blocks.py:111-114 semantics), p=2."""
+  b, n, c = x.shape
+  xg = x.reshape(b, n // 2, 2, c)
+  lg = logits.astype(jnp.float32).reshape(b, n // 2, 2, c)
+  attn = jax.nn.softmax(lg, axis=2)
+  return (xg.astype(jnp.float32) * attn).sum(axis=2).astype(x.dtype)
+
+
+def _kernel(x_ref, l_ref, o_ref):
+  x = x_ref[:]
+  tn, l, c = x.shape
+  xw = x.reshape(tn, l // 2, 2 * c)
+  lw = l_ref[:].astype(jnp.float32).reshape(tn, l // 2, 2 * c)
+  x0 = xw[..., :c].astype(jnp.float32)
+  x1 = xw[..., c:].astype(jnp.float32)
+  w = jax.nn.sigmoid(lw[..., :c] - lw[..., c:])
+  o_ref[:] = (x1 + (x0 - x1) * w).astype(x.dtype)
+
+
+def _pick_tile_n(n: int, l: int, c: int,
+                 budget: int = 96 * 2 ** 20) -> int:
+  best = 0
+  for cand in (1, 2, 4, 8, 16, 32, 64, 128):
+    if n % cand:
+      continue
+    rows = cand * l * c
+    est = (2 * rows * 2 * 2       # x + logits bf16, double-buffered
+           + rows // 2 * 2        # out
+           + 3 * rows * 4)        # f32 blend temps
+    if est <= budget:
+      best = cand
+  return best
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def attn_pool_pallas(x: Array, logits: Array,
+                     interpret: bool = False) -> Array:
+  """Pairwise attention pool; x, logits (N, L, C) with L even."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n, l, c = x.shape
+  tile_n = _pick_tile_n(n, l, c)
+  return pl.pallas_call(
+      _kernel,
+      grid=(n // tile_n,),
+      in_specs=[
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((tile_n, l // 2, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((n, l // 2, c), x.dtype),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      cost_estimate=pl.CostEstimate(
+          flops=8 * n * l * c,
+          bytes_accessed=x.size * 2 * 2 + x.size,
+          transcendentals=n * l // 2 * c),
+      interpret=interpret,
+  )(x, logits)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_core(x, logits, interpret):
+  return attn_pool_pallas(x, logits, interpret=interpret)
+
+
+def _fused_fwd(x, logits, interpret):
+  return attn_pool_pallas(x, logits, interpret=interpret), (x, logits)
+
+
+def _fused_bwd(interpret, res, ct):
+  # classifier guidance / DPS take jax.grad through the value net;
+  # backward runs through the jnp reference (Pallas fwd only)
+  _, vjp = jax.vjp(attn_pool_reference, *res)
+  return vjp(ct)
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Mega kernel: pool blend -> next block's BN affine + act -> im2col slabs
+# ---------------------------------------------------------------------------
+#
+# The pooled output's ONLY consumer inside the conv tower is the next
+# k=5 NACDR ConvBlock (norm -> act -> conv). Emitting that conv's
+# im2col buffer straight from the pool kernel removes every
+# intermediate HBM array between the pool's logits matmul and the
+# conv's single tap-stacked matmul: pooled x, the norm/act
+# materialization, and the pad/DUS im2col build all stay in VMEM.
+
+
+def _act(name, x):
+  if name is None:
+    return x
+  if name == 'gelu_enformer':
+    return x * jax.nn.sigmoid(1.702 * x)
+  if name == 'relu':
+    return jnp.maximum(x, 0.0)
+  if name == 'gelu':
+    return jax.nn.gelu(x, approximate=False)
+  raise NotImplementedError(name)
+
+
+def _live_offsets(k_taps: int, length: int):
+  half = (k_taps - 1) // 2
+  return [k - half for k in range(k_taps) if -length < k - half < length]
+
+
+def pool_prologue_im2col_reference(x: Array, logits: Array,
+                                   scale: Array, shift: Array,
+                                   k_taps: int, act: str | None
+                                   ) -> Array:
+  pooled = attn_pool_reference(x, logits)
+  xg = _act(act, pooled.astype(jnp.float32) * scale + shift
+            ).astype(x.dtype)
+  n, lh, c = xg.shape
+  slabs = []
+  for off in _live_offsets(k_taps, lh):
+    if off >= 0:
+      seg = jnp.pad(xg[:, off:, :], ((0, 0), (0, off), (0, 0)))
+    else:
+      seg = jnp.pad(xg[:, :lh + off, :], ((0, 0), (-off, 0), (0, 0)))
+    slabs.append(seg)
+  return jnp.concatenate(slabs, axis=-1)
+
+
+def _mega_kernel(x_ref, l_ref, s_ref, t_ref, o_ref, *, offsets, act):
+  x = x_ref[:]
+  tn, l, c = x.shape
+  lh = l // 2
+  xw = x.reshape(tn, lh, 2 * c)
+  lw = l_ref[:].astype(jnp.float32).reshape(tn, lh, 2 * c)
+  x0 = xw[..., :c].astype(jnp.float32)
+  x1 = xw[..., c:].astype(jnp.float32)
+  w = jax.nn.sigmoid(lw[..., :c] - lw[..., c:])
+  pooled = x1 + (x0 - x1) * w
+  xg = _act(act, pooled * s_ref[0][None, None, :]
+            + t_ref[0][None, None, :]).astype(x.dtype)
+  for j, off in enumerate(offsets):
+    if off >= 0:
+      seg = jnp.pad(xg[:, off:, :], ((0, 0), (0, off), (0, 0)))
+    else:
+      seg = jnp.pad(xg[:, :lh + off, :], ((0, 0), (-off, 0), (0, 0)))
+    o_ref[:, :, j * c:(j + 1) * c] = seg
+
+
+def _pick_tile_n_mega(n: int, l: int, c: int, k_live: int,
+                      budget: int = 56 * 2 ** 20) -> int:
+  best = 0
+  for cand in (1, 2, 4, 8, 16, 32, 64, 128):
+    if n % cand:
+      continue
+    rows = cand * l * c          # full-length rows (pre-pool)
+    est = (2 * rows * 2 * 2      # x + logits double-buffered bf16
+           + 3 * rows * 4        # f32 blend temps
+           + rows // 2 * 2       # activated pooled
+           + 2 * rows // 2 * k_live * 2)   # cols out double-buffered
+    if est <= budget:
+      best = cand
+  return best
+
+
+@functools.partial(jax.jit, static_argnames=('k_taps', 'act',
+                                             'interpret'))
+def pool_prologue_im2col_pallas(x: Array, logits: Array, scale: Array,
+                                shift: Array, k_taps: int,
+                                act: str | None,
+                                interpret: bool = False) -> Array:
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n, l, c = x.shape
+  lh = l // 2
+  offsets = tuple(_live_offsets(k_taps, lh))
+  k_live = len(offsets)
+  tile_n = _pick_tile_n_mega(n, l, c, k_live)
+  body = functools.partial(_mega_kernel, offsets=offsets, act=act)
+  return pl.pallas_call(
+      body,
+      grid=(n // tile_n,),
+      in_specs=[
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((tile_n, lh, k_live * c),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((n, lh, k_live * c), x.dtype),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      cost_estimate=pl.CostEstimate(
+          flops=12 * n * l * c,
+          bytes_accessed=x.size * 2 * 2 + n * lh * k_live * c * 2,
+          transcendentals=n * l * c),
+      interpret=interpret,
+  )(x, logits, scale.reshape(1, c).astype(jnp.float32),
+    shift.reshape(1, c).astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _mega_core(x, logits, scale, shift, k_taps, act, interpret):
+  return pool_prologue_im2col_pallas(x, logits, scale, shift, k_taps,
+                                     act, interpret=interpret)
+
+
+def _mega_fwd(x, logits, scale, shift, k_taps, act, interpret):
+  out = pool_prologue_im2col_pallas(x, logits, scale, shift, k_taps,
+                                    act, interpret=interpret)
+  return out, (x, logits, scale, shift)
+
+
+def _mega_bwd(k_taps, act, interpret, res, ct):
+  _, vjp = jax.vjp(
+      lambda x, l, s, t: pool_prologue_im2col_reference(
+          x, l, s, t, k_taps, act), *res)
+  return vjp(ct)
+
+
+_mega_core.defvjp(_mega_fwd, _mega_bwd)
+
+
+def pool_prologue_im2col(x: Array, logits: Array, scale: Array,
+                         shift: Array, k_taps: int, act: str | None,
+                         use_pallas: bool | None = None) -> Array:
+  """Dispatcher for the mega kernel; even-L inputs required."""
+  n, l, c = x.shape
+  if use_pallas is None:
+    use_pallas = use_pallas_attn_pool()
+  k_live = len(_live_offsets(k_taps, l // 2))
+  ok = (l % 2 == 0 and c % 128 == 0
+        and _pick_tile_n_mega(n, l, c, k_live) > 0)
+  if use_pallas and ok:
+    return _mega_core(x, logits, scale, shift, k_taps, act, False)
+  return pool_prologue_im2col_reference(x, logits, scale, shift,
+                                        k_taps, act)
+
+
+def use_pallas_attn_pool() -> bool:
+  """Default ON for TPU (opt out with SVDD_PALLAS_ATTN_POOL=0)."""
+  import os
+  env = os.environ.get('SVDD_PALLAS_ATTN_POOL')
+  if env is not None:
+    return env == '1'
+  try:
+    return jax.default_backend() == 'tpu'
+  except Exception:                                  # noqa: BLE001
+    return False
+
+
+def attn_pool_fused(x: Array, logits: Array,
+                    use_pallas: bool | None = None) -> Array:
+  """Dispatcher: Pallas when the (even-L, 128-aligned C) shape tiles,
+  jnp reference otherwise. Inputs must already be even-L padded."""
+  n, l, c = x.shape
+  if use_pallas is None:
+    use_pallas = use_pallas_attn_pool()
+  ok = (l % 2 == 0 and c % 128 == 0 and _pick_tile_n(n, l, c) > 0)
+  if use_pallas and ok:
+    return _fused_core(x, logits, False)
+  return attn_pool_reference(x, logits)

@@ -99,7 +99,28 @@ class Conv1D(nn.Module):
   dtype: jnp.dtype | None = None
 
   @nn.compact
-  def __call__(self, x: Array, prologue: tuple | None = None) -> Array:
+  def __call__(self, x: Array, prologue: tuple | None = None,
+               precols: Array | None = None) -> Array:
+    if precols is not None:
+      # pre-built im2col buffer (the deferred-pool mega kernel,
+      # ops/attn_pool_pallas.pool_prologue_im2col): ONE stacked matmul
+      dtype = self.dtype or precols.dtype
+      l = precols.shape[1]
+      half = (self.kernel_size - 1) // 2 * self.dilation
+      live = [k for k in range(self.kernel_size)
+              if -l < k * self.dilation - half < l]
+      c_in = precols.shape[-1] // len(live)
+      kernel = self.param(
+          'kernel', nn.initializers.lecun_normal(),
+          (self.kernel_size, c_in, self.features))
+      w = jnp.concatenate([kernel[k] for k in live], axis=0)
+      out = jnp.dot(precols, w.astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+      if self.use_bias:
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,))
+        out = out + bias.astype(dtype)
+      return out
     dtype = self.dtype or x.dtype
     kernel = self.param(
         'kernel', nn.initializers.lecun_normal(),
@@ -110,7 +131,17 @@ class Conv1D(nn.Module):
     if prologue is not None:
       assert self.dilation == 1 and bias is not None
       scale, shift, act_name = prologue
-      from svdd_tpu.ops.fused_conv_pallas import fused_conv1d
+      from svdd_tpu.ops.fused_conv_pallas import (fused_conv1d,
+                                                  use_pallas_fused_conv)
+      from svdd_tpu.ops.im2col_pallas import (nacdr_conv1d,
+                                              use_pallas_im2col)
+      if use_pallas_im2col() and not use_pallas_fused_conv():
+        # fused prologue+im2col kernel + ONE XLA matmul (the winning
+        # split: dots at XLA's ~190 TFLOP/s, everything between dots
+        # in VMEM — see ops/im2col_pallas.py)
+        return nacdr_conv1d(x, kernel.astype(dtype),
+                            bias.astype(dtype), scale, shift,
+                            act=act_name)
       return fused_conv1d(x, kernel.astype(dtype), bias.astype(dtype),
                           scale, shift, act=act_name)
     return conv1d_shifted(

@@ -83,3 +83,177 @@ def test_fused_gumbel_candidates_xla_dispatcher():
   np.testing.assert_allclose(freqs[:4], [0.1, 0.2, 0.3, 0.4],
                              atol=0.035)
   assert freqs[4] == 0.0
+
+
+def test_attn_pool_pallas_matches_reference_interpret():
+  """Fused attention-pool kernel (sigmoid-blend over the lane-split
+  pair view) == grouped-softmax reference, incl. the -inf odd-L pad."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_pool_pallas as ap
+
+  key = jax.random.key(0)
+  for n, l, c in [(8, 16, 128), (16, 8, 256)]:
+    x = jax.random.normal(key, (n, l, c), jnp.float32)
+    logits = jax.random.normal(jax.random.fold_in(key, 1), (n, l, c),
+                               jnp.float32)
+    want = ap.attn_pool_reference(x, logits)
+    got = ap.attn_pool_pallas(x, logits, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_attn_pool_module_odd_length_and_grad():
+  """AttentionPool module: odd L masks the tail (pad logit -inf), and
+  the custom-VJP backward matches finite differences of the
+  reference."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.models.blocks import AttentionPool
+  from svdd_tpu.ops import attn_pool_pallas as ap
+
+  pool = AttentionPool(dim=128, pool_size=2)
+  x = jax.random.normal(jax.random.key(2), (4, 13, 128))
+  v = pool.init(jax.random.key(3), x)
+  out = pool.apply(v, x)
+  assert out.shape == (4, 7, 128)
+  # tail group has one real member -> softmax weight 1 on it
+  np.testing.assert_allclose(np.asarray(out[:, -1]),
+                             np.asarray(x[:, -1]), atol=1e-5)
+
+  # grad parity: fused custom-vjp vs pure reference
+  xe = jax.random.normal(jax.random.key(4), (4, 8, 128))
+  le = jax.random.normal(jax.random.key(5), (4, 8, 128))
+
+  def f_fused(x, l):
+    return (ap.attn_pool_fused(x, l, use_pallas=False) ** 2).sum()
+
+  def f_ref(x, l):
+    return (ap.attn_pool_reference(x, l) ** 2).sum()
+
+  gf = jax.grad(f_fused, argnums=(0, 1))(xe, le)
+  gr = jax.grad(f_ref, argnums=(0, 1))(xe, le)
+  for a, b in zip(gf, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_nacdr_im2col_matches_reference_interpret():
+  """Fused prologue+im2col kernel == reference slab stacking, and the
+  full nacdr_conv1d path == fused_conv1d_reference."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import im2col_pallas as ic
+  from svdd_tpu.ops.fused_conv_pallas import fused_conv1d_reference
+
+  key = jax.random.key(0)
+  n, l, c, k = 8, 16, 128, 5
+  x = jax.random.normal(key, (n, l, c), jnp.float32)
+  scale = jax.random.normal(jax.random.fold_in(key, 1), (c,)) + 1.0
+  shift = jax.random.normal(jax.random.fold_in(key, 2), (c,))
+  want = ic.nacdr_im2col_reference(x, scale, shift, k, 'gelu_enformer')
+  got = ic.nacdr_im2col_pallas(x, scale, shift, k, 'gelu_enformer',
+                               interpret=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-5)
+
+  kernel = jax.random.normal(jax.random.fold_in(key, 3), (k, c, c)) \
+      * 0.05
+  bias = jax.random.normal(jax.random.fold_in(key, 4), (c,))
+  ref = fused_conv1d_reference(x, kernel, bias, scale, shift,
+                               act='gelu_enformer')
+  # CPU falls back to the reference inside nacdr_conv1d; force the
+  # cols+matmul route via the reference cols to pin the weight stacking
+  cols = ic.nacdr_im2col_reference(x, scale, shift, k, 'gelu_enformer')
+  live = [o + (k - 1) // 2 for o in ic._live_offsets(k, l)]
+  w = jnp.concatenate([kernel[i] for i in live], axis=0)
+  out = cols @ w + bias
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=1e-4)
+
+
+def test_nacdr_im2col_grad_matches_reference():
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import im2col_pallas as ic
+
+  key = jax.random.key(7)
+  n, l, c, k = 4, 8, 128, 5
+  x = jax.random.normal(key, (n, l, c), jnp.float32)
+  scale = jnp.ones((c,)) * 1.3
+  shift = jnp.zeros((c,)) + 0.1
+
+  def f_fused(x, s, t):
+    return (ic._fused_core(x, s, t, k, 'gelu_enformer', True) ** 2).sum()
+
+  def f_ref(x, s, t):
+    return (ic.nacdr_im2col_reference(x, s, t, k,
+                                      'gelu_enformer') ** 2).sum()
+
+  gf = jax.grad(f_fused, argnums=(0, 1, 2))(x, scale, shift)
+  gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, scale, shift)
+  for a, b in zip(gf, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pool_prologue_im2col_mega_kernel():
+  """Mega kernel (pool blend + affine + act + im2col) == reference
+  composition, forward (interpret) and grad (custom-vjp)."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_pool_pallas as ap
+
+  key = jax.random.key(11)
+  n, l, c, k = 4, 16, 128, 5
+  x = jax.random.normal(key, (n, l, c), jnp.float32)
+  logits = jax.random.normal(jax.random.fold_in(key, 1), (n, l, c))
+  scale = jax.random.normal(jax.random.fold_in(key, 2), (c,)) + 1.0
+  shift = jax.random.normal(jax.random.fold_in(key, 3), (c,))
+  want = ap.pool_prologue_im2col_reference(x, logits, scale, shift, k,
+                                           'gelu_enformer')
+  got = ap.pool_prologue_im2col_pallas(x, logits, scale, shift, k,
+                                       'gelu_enformer', interpret=True)
+  assert got.shape == (n, l // 2, 5 * c)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-5)
+
+  def f_fused(x, lg, s, t):
+    return (ap._mega_core(x, lg, s, t, k, 'gelu_enformer',
+                          True) ** 2).sum()
+
+  def f_ref(x, lg, s, t):
+    return (ap.pool_prologue_im2col_reference(
+        x, lg, s, t, k, 'gelu_enformer') ** 2).sum()
+
+  gf = jax.grad(f_fused, argnums=(0, 1, 2, 3))(x, logits, scale, shift)
+  gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, logits, scale, shift)
+  for a, b in zip(gf, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_enformer_tower_deferred_pool_matches_unfused():
+  """The deferred-pool eval pipeline == the plain per-block path
+  (SVDD_FUSED_NACDR=0), pinning the whole tower restructuring."""
+  import os
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.models.enformer import EnformerValueModel
+
+  vm = EnformerValueModel(n_tasks=1, n_conv=4, channels=256,
+                          n_transformers=1, n_heads=2, key_len=8)
+  x = jax.random.normal(jax.random.key(0), (2, 50, 4))
+  v = jax.jit(vm.init)(jax.random.key(1), x)
+  fused = np.asarray(vm.apply(v, x))
+  os.environ['SVDD_FUSED_NACDR'] = '0'
+  try:
+    plain = np.asarray(vm.apply(v, x))
+  finally:
+    os.environ.pop('SVDD_FUSED_NACDR')
+  np.testing.assert_allclose(fused, plain, atol=2e-4)
