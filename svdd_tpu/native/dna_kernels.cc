@@ -83,10 +83,39 @@ int64_t kmer_count(const int32_t* tokens, int64_t n_seqs, int64_t len,
 }
 
 // ---------------------------------------------------------------------------
+// Positional field splitter: splits `line` on ',' IN PLACE, KEEPING
+// empty tokens (strtok_r collapses consecutive delimiters, which
+// silently shifted every later column index when a CSV field was
+// empty — ADVICE r1). Strips a trailing \r\n. Returns the field
+// count (possibly > max_fields; only the first max_fields pointers
+// are stored).
+// ---------------------------------------------------------------------------
+static int split_fields(char* line, char** fields, int max_fields) {
+  size_t len = strlen(line);
+  while (len > 0 && (line[len - 1] == '\n' || line[len - 1] == '\r')) {
+    line[--len] = 0;
+  }
+  int n = 0;
+  char* p = line;
+  for (;;) {
+    if (n < max_fields) fields[n] = p;
+    ++n;
+    char* comma = strchr(p, ',');
+    if (!comma) break;
+    *comma = 0;
+    p = comma + 1;
+  }
+  return n;
+}
+
+#define MAX_FIELDS 256
+
+// ---------------------------------------------------------------------------
 // CSV sequence-column extraction: find `column` in the header, then
 // copy each row's field (must be exactly seq_len chars) into out.
 // Returns rows parsed, or -1 on error. Minimal CSV: no quoted commas
-// in the sequence column (true for the Gosai files).
+// (true for the Gosai files); rows whose field count differs from the
+// header's are skipped rather than silently misaligned.
 // ---------------------------------------------------------------------------
 int64_t csv_read_seq_column(const char* path, const char* column,
                             int64_t seq_len, char* out,
@@ -97,24 +126,19 @@ int64_t csv_read_seq_column(const char* path, const char* column,
   size_t cap = 0;
   // header
   if (getline(&line, &cap, f) <= 0) { fclose(f); free(line); return -1; }
+  char* fields[MAX_FIELDS];
+  int n_header = split_fields(line, fields, MAX_FIELDS);
   int col = -1;
-  {
-    int idx = 0;
-    char* save = nullptr;
-    for (char* tok = strtok_r(line, ",\r\n", &save); tok;
-         tok = strtok_r(nullptr, ",\r\n", &save), ++idx) {
-      if (strcmp(tok, column) == 0) { col = idx; break; }
-    }
+  for (int i = 0; i < n_header && i < MAX_FIELDS; ++i) {
+    if (strcmp(fields[i], column) == 0) { col = i; break; }
   }
   if (col < 0) { fclose(f); free(line); return -1; }
   int64_t rows = 0;
   while (rows < max_rows && getline(&line, &cap, f) > 0) {
-    char* save = nullptr;
-    char* tok = strtok_r(line, ",\r\n", &save);
-    for (int idx = 0; tok && idx < col; ++idx) {
-      tok = strtok_r(nullptr, ",\r\n", &save);
-    }
-    if (!tok || (int64_t)strlen(tok) != seq_len) continue;
+    int n = split_fields(line, fields, MAX_FIELDS);
+    if (n != n_header) continue;        // malformed row
+    const char* tok = fields[col];
+    if ((int64_t)strlen(tok) != seq_len) continue;
     memcpy(out + rows * seq_len, tok, seq_len);
     ++rows;
   }
@@ -148,11 +172,16 @@ int64_t csv_count_rows(const char* path) {
 
 // ---------------------------------------------------------------------------
 // One-pass Gosai reader: sequence column + n_cls float columns, with a
-// contiguous row range [row_offset, row_offset + max_rows) for sharded
-// multi-host loading (each host reads only its slice of the file).
-// cls_cols: comma-separated column names. Rows whose sequence field is
-// not exactly seq_len chars are skipped (consistently for both
-// outputs). Returns rows parsed or -1 on error.
+// contiguous row range [row_offset, row_offset + max_rows) of RAW file
+// lines for sharded multi-host loading (each host reads only its slice
+// of the file). Bounding by raw lines consumed — not valid rows parsed
+// — keeps every shard inside its raw-line plan (csv_count_rows /
+// share * shard_index) and matches the pandas fallback's
+// nrows-then-filter semantics; a shard containing skipped rows simply
+// yields fewer rows instead of silently reading into the next host's
+// shard (ADVICE r1). Fields are split positionally (empty fields
+// preserved) and rows whose field count differs from the header are
+// skipped, never misaligned. Returns rows parsed or -1 on error.
 // ---------------------------------------------------------------------------
 int64_t csv_read_gosai(const char* path, const char* seq_col,
                        const char* cls_cols, int64_t seq_len,
@@ -164,10 +193,12 @@ int64_t csv_read_gosai(const char* path, const char* seq_col,
   size_t cap = 0;
   if (getline(&line, &cap, f) <= 0) { fclose(f); free(line); return -1; }
 
-  // resolve column indices from the header
+  // resolve column indices from the header (positional split)
   int seq_idx = -1;
   int cls_idx[16];
   for (int i = 0; i < n_cls && i < 16; ++i) cls_idx[i] = -1;
+  char* fields[MAX_FIELDS];
+  int n_header;
   {
     // split requested class names
     char want[512];
@@ -181,13 +212,11 @@ int64_t csv_read_gosai(const char* path, const char* seq_col,
       names[n_names++] = t;
     }
     if (n_names != n_cls) { fclose(f); free(line); return -1; }
-    int idx = 0;
-    char* save = nullptr;
-    for (char* tok = strtok_r(line, ",\r\n", &save); tok;
-         tok = strtok_r(nullptr, ",\r\n", &save), ++idx) {
-      if (strcmp(tok, seq_col) == 0) seq_idx = idx;
+    n_header = split_fields(line, fields, MAX_FIELDS);
+    for (int idx = 0; idx < n_header && idx < MAX_FIELDS; ++idx) {
+      if (strcmp(fields[idx], seq_col) == 0) seq_idx = idx;
       for (int i = 0; i < n_cls; ++i) {
-        if (strcmp(tok, names[i]) == 0) cls_idx[i] = idx;
+        if (strcmp(fields[idx], names[i]) == 0) cls_idx[i] = idx;
       }
     }
     if (seq_idx < 0) { fclose(f); free(line); return -1; }
@@ -196,34 +225,21 @@ int64_t csv_read_gosai(const char* path, const char* seq_col,
     }
   }
 
-  // skip to the shard's first row
+  // skip to the shard's first raw line
   for (int64_t i = 0; i < row_offset; ++i) {
     if (getline(&line, &cap, f) <= 0) { fclose(f); free(line); return 0; }
   }
 
   int64_t rows = 0;
-  while (rows < max_rows && getline(&line, &cap, f) > 0) {
-    // split the row once, remembering every needed field
-    const char* seq_field = nullptr;
-    const char* cls_field[16] = {nullptr};
-    int idx = 0;
-    char* save = nullptr;
-    for (char* tok = strtok_r(line, ",\r\n", &save); tok;
-         tok = strtok_r(nullptr, ",\r\n", &save), ++idx) {
-      if (idx == seq_idx) seq_field = tok;
-      for (int i = 0; i < n_cls; ++i) {
-        if (idx == cls_idx[i]) cls_field[i] = tok;
-      }
-    }
-    if (!seq_field || (int64_t)strlen(seq_field) != seq_len) continue;
-    bool ok = true;
-    for (int i = 0; i < n_cls; ++i) {
-      if (!cls_field[i]) { ok = false; break; }
-    }
-    if (!ok) continue;
+  for (int64_t consumed = 0;
+       consumed < max_rows && getline(&line, &cap, f) > 0; ++consumed) {
+    int n = split_fields(line, fields, MAX_FIELDS);
+    if (n != n_header) continue;        // malformed row, never misread
+    const char* seq_field = fields[seq_idx];
+    if ((int64_t)strlen(seq_field) != seq_len) continue;
     memcpy(seq_out + rows * seq_len, seq_field, seq_len);
     for (int i = 0; i < n_cls; ++i) {
-      cls_out[rows * n_cls + i] = strtof(cls_field[i], nullptr);
+      cls_out[rows * n_cls + i] = strtof(fields[cls_idx[i]], nullptr);
     }
     ++rows;
   }

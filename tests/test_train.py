@@ -298,6 +298,45 @@ def test_native_sharded_csv_reader(tmp_path):
   np.testing.assert_allclose(np.concatenate([c0, c1]), clss)
 
 
+def test_native_csv_empty_fields_and_shard_bounds(tmp_path):
+  """ADVICE r1 regressions: (1) an EMPTY CSV field must not shift
+  later column indices (strtok_r collapsed consecutive delimiters);
+  (2) shards are bounded by RAW lines consumed, so a shard containing
+  a malformed row yields fewer rows instead of stealing rows from the
+  next host's shard."""
+  from svdd_tpu.native import bindings
+  L = 8
+  path = tmp_path / 'gosai_train.csv'
+  rows = [
+      ('0', '', 'ACGTACGT', '1.5', '2.5', '3.5'),     # empty 2nd col
+      ('1', 'x', 'TTTTAAAA', '4.5', '5.5', '6.5'),
+      ('2', '', 'BADLEN', '9.0', '9.0', '9.0'),       # malformed seq
+      ('3', 'y', 'CCCCGGGG', '7.5', '8.5', '9.5'),
+  ]
+  with open(path, 'w') as f:
+    f.write('id,note,seq,hepg2,k562,sknsh\n')
+    for r in rows:
+      f.write(','.join(r) + '\n')
+
+  toks, clss = bindings.csv_read_gosai(
+      str(path), 'seq', ['hepg2', 'k562', 'sknsh'], L)
+  # row 0's empty field must NOT shift hepg2 into the seq slot
+  assert toks.shape[0] == 3
+  np.testing.assert_allclose(
+      clss, [[1.5, 2.5, 3.5], [4.5, 5.5, 6.5], [7.5, 8.5, 9.5]])
+
+  # raw-line shard bound: shard [0, 3) contains the malformed row ->
+  # yields 2 valid rows and must NOT consume row 3 (next shard's)
+  t0, c0 = bindings.csv_read_gosai(
+      str(path), 'seq', ['hepg2', 'k562', 'sknsh'], L,
+      row_offset=0, max_rows=3)
+  t1, c1 = bindings.csv_read_gosai(
+      str(path), 'seq', ['hepg2', 'k562', 'sknsh'], L,
+      row_offset=3, max_rows=1)
+  assert t0.shape[0] == 2 and t1.shape[0] == 1
+  np.testing.assert_allclose(c1, [[7.5, 8.5, 9.5]])
+
+
 def test_dataset_row_sharding(tmp_path, cfg):
   """GosaiDataset(row_offset,row_limit) + get_dataloaders(shard_data):
   two hosts hold disjoint halves."""
