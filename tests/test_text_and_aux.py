@@ -94,3 +94,80 @@ def test_metrics_logger_and_timer(tmp_path):
 
   assert not bool(nan_guard({'a': jnp.ones(3)}))
   assert bool(nan_guard({'a': jnp.asarray([jnp.nan])}))
+
+
+def test_group_and_wrap_blocks():
+  """_group_texts parity (dataloader.py:277-301): concat docs, pack
+  into [BOS] inner [EOS] blocks, drop the tail remainder."""
+  import numpy as np
+  from svdd_tpu.data.text import group_and_wrap
+
+  docs = [[10, 11, 12, 99], [13, 14, 99], [15, 16, 17, 18, 99]]
+  out = group_and_wrap(docs, block_size=6, bos=1, eos=2)
+  ids = out['input_ids']
+  flat = [t for d in docs for t in d]
+  assert ids.shape == (len(flat) // 4, 6)
+  for i, row in enumerate(ids):
+    assert row[0] == 1 and row[-1] == 2
+    assert row[1:-1].tolist() == flat[i * 4:(i + 1) * 4]
+  assert out['attention_mask'].shape == ids.shape
+  assert (out['attention_mask'] == 1).all()
+
+
+def test_detokenizers_match_reference():
+  """Pin every detokenizer byte-for-byte against the reference
+  implementations (dataloader.py:24-105)."""
+  import sys
+  import types
+  # the reference's utils.py imports lightning/timm (absent here) for
+  # unrelated trainer helpers; stub them so the pure string fns load
+  import importlib.machinery
+  import torch
+
+  def stub(name):
+    if name in sys.modules:
+      return sys.modules[name]
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    mod.__path__ = []
+    sys.modules[name] = mod
+    return mod
+
+  tsched = stub('timm.scheduler')
+  tsched.CosineLRScheduler = type(
+      'CosineLRScheduler',
+      (torch.optim.lr_scheduler._LRScheduler,), {})
+  stub('timm').scheduler = tsched
+  lutil = stub('lightning.pytorch.utilities')
+  lutil.rank_zero_only = lambda fn: fn
+  lpt = stub('lightning.pytorch')
+  lpt.utilities = lutil
+  stub('lightning').pytorch = lpt
+  sys.path.insert(0, '/root/reference')
+  try:
+    import dataloader as ref  # type: ignore
+  except Exception:
+    import pytest
+    pytest.skip('reference dataloader not importable here')
+  finally:
+    sys.path.pop(0)
+  from svdd_tpu.data import text as T
+
+  samples = [
+      "the cat 's house ( with  spaces ) and a \" quoted  bit \" , "
+      "done . it was = = = = heading = = = = and s ' more \n text",
+      "go to http : / / example.com , pay $ 5 now ! it is ok ?",
+      "he said <unk> about the $ 1 deal and N things n't \n here",
+      "a “curly” quoted line  ",
+  ]
+  pairs = [
+      (T.wt_detokenizer, ref.wt_detokenizer),
+      (T.ptb_detokenizer, ref.ptb_detokenizer),
+      (T.lm1b_detokenizer, ref.lm1b_detokenizer),
+      (T.lambada_detokenizer, ref.lambada_detokenizer),
+      (T.scientific_papers_detokenizer,
+       ref.scientific_papers_detokenizer),
+  ]
+  for mine, theirs in pairs:
+    for s in samples:
+      assert mine(s) == theirs(s), (mine.__name__, s)
