@@ -95,3 +95,80 @@ def check_strings(seqs: Sequence[str]) -> None:
     bad = set(s.upper()) - ok
     if bad:
       raise ValueError(f'invalid characters {bad} in sequence')
+
+
+# ---------------------------------------------------------------------------
+# Genomic intervals (format.py:31-52 + the interval branch of
+# convert_input_type:365). The STRUCTURE checks and interval<->string
+# resolution are asset-free; instead of grelu's genome downloads
+# (unavailable offline), interval resolution takes an explicit
+# {chrom: sequence} dict — point it at any locally available FASTA.
+# ---------------------------------------------------------------------------
+
+
+def check_intervals(df) -> bool:
+  """True iff ``df`` is a genomic-interval frame: first three columns
+  named chrom/start/end with string/int dtypes (format.py:31-52)."""
+  try:
+    import pandas as pd
+    from pandas.api.types import (is_integer_dtype, is_string_dtype)
+  except ImportError:
+    return False
+  if not hasattr(df, 'columns') or df.shape[1] < 3:
+    return False
+  if list(df.columns[:3]) != ['chrom', 'start', 'end']:
+    return False
+  chrom = df['chrom']
+  return (bool(is_string_dtype(chrom)
+               or isinstance(chrom.dtype, pd.CategoricalDtype))
+          and is_integer_dtype(df['start'])
+          and is_integer_dtype(df['end']))
+
+
+def check_indices(indices) -> bool:
+  """Valid integer-encoded DNA: int array, 1-2D, values in [0, 4]
+  (format.py:68-87; any int dtype accepted, not only int8)."""
+  arr = np.asarray(indices)
+  return (np.issubdtype(arr.dtype, np.integer) and arr.ndim in (1, 2)
+          and arr.size > 0 and 0 <= arr.min() and arr.max() <= 4)
+
+
+def check_one_hot(one_hot) -> bool:
+  """Valid one-hot: float array, 2-3D, 4 channels LAST (format.py:90-109
+  checks channel-FIRST torch layout; this build is channel-last)."""
+  arr = np.asarray(one_hot)
+  return (np.issubdtype(arr.dtype, np.floating)
+          and arr.ndim in (2, 3) and arr.shape[-1] == 4)
+
+
+def intervals_to_strings(df, genome: dict) -> List[str]:
+  """Resolve intervals against a {chrom: sequence-string} dict
+  (the asset-free counterpart of grelu's genome-backed
+  intervals_to_strings used by format.py:365). Reverse-complements
+  rows whose optional 'strand' column is '-'."""
+  comp = str.maketrans('ACGTN', 'TGCAN')
+  out = []
+  for row in df.itertuples(index=False):
+    chrom, start, end = row.chrom, int(row.start), int(row.end)
+    if chrom not in genome:
+      raise KeyError(f'chromosome {chrom!r} not in the provided genome '
+                     'dict (offline build: pass {chrom: sequence})')
+    s = genome[chrom][start:end].upper()
+    if getattr(row, 'strand', '+') == '-':
+      s = s.translate(comp)[::-1]
+    out.append(s)
+  return out
+
+
+def strings_to_intervals(seqs: Sequence[str], chrom: str = 'custom'):
+  """Wrap raw sequences as interval rows on a synthetic contig —
+  enough structure for the plotting/eval helpers that take interval
+  frames."""
+  import pandas as pd
+  starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])[:-1]])
+  return pd.DataFrame({
+      'chrom': chrom,
+      'start': starts.astype(np.int64),
+      'end': (starts + np.array([len(s) for s in seqs])).astype(
+          np.int64),
+  })

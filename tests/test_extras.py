@@ -215,3 +215,64 @@ def test_ar_sample_kv_matches_uncached():
   got = np.asarray(jax.jit(
       lambda v, k: ar_sample_kv(model, v, 6, L, k))(v, key))
   np.testing.assert_array_equal(got, ref)
+
+
+def test_visualize_long_tail_smoke(tmp_path):
+  """Every reference plot_* counterpart renders and saves
+  (visualize.py:106-772 long-tail; VERDICT r1 item 8)."""
+  import numpy as np
+  from svdd_tpu.analysis import visualize as V
+
+  rng = np.random.default_rng(0)
+  vals = rng.normal(size=200)
+  V.plot_distribution(vals, save_path=str(tmp_path / 'd1.png'))
+  V.plot_distribution(vals, method='density',
+                      save_path=str(tmp_path / 'd2.png'))
+  V.plot_pred_distribution(rng.normal(size=(50, 2)),
+                           rng.normal(size=(50, 2)),
+                           save_path=str(tmp_path / 'd3.png'))
+  V.plot_binary_preds(rng.normal(size=50),
+                      rng.integers(0, 2, 50),
+                      save_path=str(tmp_path / 'd4.png'))
+  V.plot_evolution({'iter': np.repeat([0, 1, 2], 10),
+                    'total_score': rng.normal(size=30)},
+                   save_path=str(tmp_path / 'd5.png'))
+  V.plot_gc_match(['ACGT', 'GGGG'], ['AAAA', 'ATAT'],
+                  save_path=str(tmp_path / 'd6.png'))
+  V.plot_sequence_logo(rng.normal(size=(20, 4)) * 0.5,
+                       save_path=str(tmp_path / 'd7.png'))
+  V.plot_ISM(rng.normal(size=(20, 4)),
+             save_path=str(tmp_path / 'd8.png'))
+  V.plot_ISM(rng.normal(size=(20, 4)), method='logo',
+             save_path=str(tmp_path / 'd9.png'))
+  V.plot_tracks(rng.random((3, 50)),
+                highlight_intervals=[(10, 20)],
+                save_path=str(tmp_path / 'd10.png'))
+  V.plot_attention_matrix(rng.random((8, 8)),
+                          highlight_intervals=[(2, 4)],
+                          save_path=str(tmp_path / 'd11.png'))
+  import os
+  for i in range(1, 12):
+    assert os.path.getsize(tmp_path / f'd{i}.png') > 0
+
+
+def test_attention_scores_extraction():
+  """EnformerAttention sows softmax maps; interpret returns the
+  reference's (Layers, Heads, L, L) / (Heads, L, L) contract
+  (score.py:393-437)."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.models.enformer import EnformerValueModel
+  from svdd_tpu.analysis.interpret import get_attention_scores
+
+  vm = EnformerValueModel(n_tasks=1, n_conv=3, channels=256,
+                          n_transformers=3, n_heads=2, key_len=8)
+  x = jax.random.normal(jax.random.key(0), (1, 32, 4))
+  v = jax.jit(vm.init)(jax.random.key(1), x)
+  attn = get_attention_scores(vm, v, x[0])
+  assert attn.shape[:2] == (3, 2)
+  np.testing.assert_allclose(attn.sum(-1), 1.0, atol=1e-2)
+  one = get_attention_scores(vm, v, x[0], block_idx=1)
+  assert one.shape == attn.shape[1:]
+  np.testing.assert_allclose(one, attn[1])
