@@ -106,21 +106,155 @@ def get_attributions(predict_fn: PredictFn, onehot: Array,
   return np.asarray(out)
 
 
+def extract_seqlets(attributions: np.ndarray, onehots: np.ndarray,
+                    window: int = 8, per_seq: int = 3,
+                    min_frac: float = 0.3):
+  """High-attribution windows ("seqlets"). attributions/onehots
+  (N, L, 4). Returns (windows (M, window, 4) one-hot,
+  attr_windows (M, window, 4), scores (M,))."""
+  attributions = np.asarray(attributions, np.float64)
+  onehots = np.asarray(onehots, np.float64)
+  proj = (attributions * onehots).sum(-1)            # (N, L)
+  n, length = proj.shape
+  kern = np.ones(window)
+  wins, awins, scores = [], [], []
+  for i in range(n):
+    sliding = np.convolve(proj[i], kern, mode='valid')  # (L-w+1,)
+    cutoff = min_frac * max(sliding.max(), 1e-12)
+    taken: list[int] = []
+    for start in np.argsort(sliding)[::-1]:
+      if len(taken) >= per_seq or sliding[start] < cutoff:
+        break
+      if any(abs(start - t) < window for t in taken):
+        continue
+      taken.append(int(start))
+      wins.append(onehots[i, start:start + window])
+      awins.append(attributions[i, start:start + window])
+      scores.append(float(sliding[start]))
+  if not wins:
+    z = np.zeros((0, window, 4))
+    return z, z, np.zeros((0,))
+  return np.stack(wins), np.stack(awins), np.asarray(scores)
+
+
+def _best_shift_similarity(pwm: np.ndarray, win: np.ndarray,
+                           max_shift: int = 2):
+  """Max normalized correlation of ``win`` against ``pwm`` over small
+  offsets (both (w, 4)). Returns (similarity, shift)."""
+  def ncc(a, b):
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    return float((a * b).sum() / denom) if denom > 0 else 0.0
+  best, best_s = -1.0, 0
+  w = pwm.shape[0]
+  for s in range(-max_shift, max_shift + 1):
+    lo, hi = max(0, s), min(w, w + s)
+    if hi - lo < w // 2:
+      continue
+    sim = ncc(pwm[lo:hi], win[lo - s:hi - s])
+    if sim > best:
+      best, best_s = sim, s
+  return best, best_s
+
+
+def cluster_seqlets(windows: np.ndarray, scores: np.ndarray,
+                    sim_threshold: float = 0.6, max_shift: int = 2):
+  """Greedy PWM clustering of seqlets by shifted correlation. Returns
+  a list of dicts {'pwm' (w,4) frequency matrix, 'n', 'score'}."""
+  clusters: list[dict] = []
+  for idx in np.argsort(scores)[::-1]:
+    win = windows[idx]
+    placed = False
+    for c in clusters:
+      pwm = c['sum'] / max(c['n'], 1)
+      sim, shift = _best_shift_similarity(pwm, win, max_shift)
+      if sim >= sim_threshold:
+        w = pwm.shape[0]
+        lo, hi = max(0, shift), min(w, w + shift)
+        c['sum'][lo:hi] += win[lo - shift:hi - shift]
+        c['n'] += 1
+        c['score'] += float(scores[idx])
+        placed = True
+        break
+    if not placed:
+      clusters.append({'sum': win.copy(), 'n': 1,
+                       'score': float(scores[idx])})
+  out = []
+  for c in sorted(clusters, key=lambda c: -c['score']):
+    pwm = c['sum'] / c['n']
+    pwm = pwm / np.maximum(pwm.sum(-1, keepdims=True), 1e-9)
+    out.append({'pwm': pwm, 'n': c['n'], 'score': c['score']})
+  return out
+
+
+def write_meme(motifs, path: str) -> None:
+  """Minimal MEME-format motif file (the reference hands modisco's h5
+  to a MEME db for TOMTOM, score.py:379-390)."""
+  with open(path, 'w') as f:
+    f.write('MEME version 4\n\nALPHABET= ACGT\n\n'
+            'strands: + -\n\n'
+            'Background letter frequencies\n'
+            'A 0.25 C 0.25 G 0.25 T 0.25\n\n')
+    for i, m in enumerate(motifs):
+      pwm = m['pwm']
+      f.write(f'MOTIF motif_{i}\n')
+      f.write(f'letter-probability matrix: alength= 4 w= {pwm.shape[0]}'
+              f' nsites= {m["n"]}\n')
+      for row in pwm:
+        f.write(' '.join(f'{v:.6f}' for v in row) + '\n')
+      f.write('\n')
+
+
 def run_modisco(attributions: np.ndarray, onehots: np.ndarray,
-                out_dir: str = './modisco', **kwargs):
-  """TF-MoDISco motif discovery (score.py run_modisco:249-390).
-  Requires the optional `modiscolite` package (not in this image);
-  raises ImportError with guidance otherwise."""
+                out_dir: str = './modisco', window: int = 8,
+                sim_threshold: float = 0.6, **kwargs):
+  """Motif discovery + report (score.py run_modisco:249-390).
+
+  Uses TF-MoDISco (modiscolite) when installed — the reference path,
+  writing modisco_report.h5. This image ships without modiscolite, so
+  the built-in fallback runs a lightweight discovery (seqlet
+  extraction around attribution peaks + greedy shifted-PWM
+  clustering) and writes motifs.meme, report.json, and per-motif logo
+  PNGs to ``out_dir``. Returns the motif list (or modisco patterns).
+  """
+  import json
+  import os
+  os.makedirs(out_dir, exist_ok=True)
   try:
-    import modiscolite  # noqa: F401
-  except ImportError as e:
-    raise ImportError(
-        'modiscolite is not installed in this environment; install it '
-        'to run motif discovery (reference score.py:249)') from e
-  pos_patterns, neg_patterns = modiscolite.tfmodisco.TFMoDISco(
-      hypothetical_contribs=attributions.transpose(0, 2, 1),
-      one_hot=onehots.transpose(0, 2, 1), **kwargs)
-  return pos_patterns, neg_patterns
+    import modiscolite
+    pos_patterns, neg_patterns = modiscolite.tfmodisco.TFMoDISco(
+        hypothetical_contribs=np.asarray(attributions).transpose(
+            0, 2, 1).astype('float32'),
+        one_hot=np.asarray(onehots).transpose(0, 2, 1).astype(
+            'float32'), **kwargs)
+    h5 = os.path.join(out_dir, 'modisco_report.h5')
+    modiscolite.io.save_hdf5(h5, pos_patterns, neg_patterns,
+                             window_size=20)
+    return pos_patterns, neg_patterns
+  except ImportError:
+    pass
+  wins, awins, scores = extract_seqlets(attributions, onehots,
+                                        window=window)
+  motifs = cluster_seqlets(wins, scores, sim_threshold=sim_threshold)
+  write_meme(motifs, os.path.join(out_dir, 'motifs.meme'))
+  report = [{'motif': f'motif_{i}', 'n_seqlets': m['n'],
+             'score': m['score'],
+             'consensus': ''.join('ACGT'[b]
+                                  for b in m['pwm'].argmax(-1))}
+            for i, m in enumerate(motifs)]
+  with open(os.path.join(out_dir, 'report.json'), 'w') as f:
+    json.dump(report, f, indent=2)
+  try:
+    from svdd_tpu.analysis.visualize import plot_sequence_logo
+    for i, m in enumerate(motifs[:8]):
+      info = m['pwm'] * np.log2(np.maximum(m['pwm'], 1e-9) / 0.25).sum(
+          -1, keepdims=True).clip(min=0)
+      plot_sequence_logo(
+          info, save_path=os.path.join(out_dir, f'motif_{i}.png'))
+  except Exception:                                  # noqa: BLE001
+    pass
+  return motifs
 
 
 def get_attention_scores(module, variables, onehot: Array,

@@ -139,15 +139,37 @@ class EnformerAttention(nn.Module):
     q = nn.Dense(h * dk, use_bias=False, dtype=x.dtype, name='to_q')(x)
     k = nn.Dense(h * dk, use_bias=False, dtype=x.dtype, name='to_k')(x)
     v = nn.Dense(h * dv, use_bias=False, dtype=x.dtype, name='to_v')(x)
-    q = q.reshape(b, n, h, dk).transpose(0, 2, 1, 3)
-    k = k.reshape(b, n, h, dk).transpose(0, 2, 1, 3)
-    v = v.reshape(b, n, h, dv).transpose(0, 2, 1, 3)
-    q = q / math.sqrt(dk)
 
     rel_content_bias = self.param(
         'rel_content_bias', nn.initializers.normal(1.0), (1, h, 1, dk))
     rel_pos_bias = self.param(
         'rel_pos_bias', nn.initializers.normal(1.0), (1, h, 1, dk))
+
+    if n == 2:
+      # L=2 fast path: fused head-segmented blend kernel — no head
+      # transposes, no (B, H, 2, 2) softmax latency
+      # (ops/attn_l2_pallas.py; math identical to the general branch)
+      from svdd_tpu.ops.attn_l2_pallas import attn_l2
+      positions = jnp.asarray(
+          relative_positional_basis(n, self.num_rel_pos_features),
+          dtype=x.dtype)
+      relk = nn.Dense(h * dk, use_bias=False, dtype=x.dtype,
+                      name='to_rel_k')(positions)       # (3, h*dk)
+      out_flat, w = attn_l2(
+          q / math.sqrt(dk), k, v,
+          rel_content_bias.reshape(h * dk).astype(x.dtype),
+          rel_pos_bias.reshape(h * dk).astype(x.dtype),
+          relk, heads=h)
+      # sow the (B, H, 2, 2) attention maps (interpret hook); dead
+      # code unless applied with mutable=['intermediates']
+      attn_bhij = jnp.stack([w, 1.0 - w], axis=-1).transpose(0, 2, 1, 3)
+      self.sow('intermediates', 'attention', attn_bhij)
+      return nn.Dense(self.dim, dtype=x.dtype, name='to_out')(out_flat)
+
+    q = q.reshape(b, n, h, dk).transpose(0, 2, 1, 3)
+    k = k.reshape(b, n, h, dk).transpose(0, 2, 1, 3)
+    v = v.reshape(b, n, h, dv).transpose(0, 2, 1, 3)
+    q = q / math.sqrt(dk)
 
     content_logits = jnp.einsum(
         'bhid,bhjd->bhij', q + rel_content_bias.astype(q.dtype), k)

@@ -276,3 +276,34 @@ def test_attention_scores_extraction():
   one = get_attention_scores(vm, v, x[0], block_idx=1)
   assert one.shape == attn.shape[1:]
   np.testing.assert_allclose(one, attn[1])
+
+
+def test_motif_discovery_recovers_planted_motif(tmp_path):
+  """run_modisco's offline fallback (seqlet extraction + shifted-PWM
+  clustering) recovers a planted motif from attributions and writes
+  the MEME/JSON report (score.py run_modisco:249-390 counterpart)."""
+  import json
+  import numpy as np
+  from svdd_tpu.analysis.interpret import run_modisco
+
+  rng = np.random.default_rng(0)
+  motif = 'TTAGGC'
+  midx = ['ACGT'.index(c) for c in motif]
+  N, L = 24, 40
+  toks = rng.integers(0, 4, (N, L))
+  starts = rng.integers(0, L - len(motif), N)
+  for i, s in enumerate(starts):
+    toks[i, s:s + len(motif)] = midx
+  onehot = np.eye(4)[toks]
+  attr = np.zeros((N, L, 4))
+  for i, s in enumerate(starts):
+    attr[i, s:s + len(motif)] = onehot[i, s:s + len(motif)]
+
+  motifs = run_modisco(attr, onehot, out_dir=str(tmp_path), window=6)
+  assert motifs, 'no motifs found'
+  top = motifs[0]
+  assert top['n'] >= N // 2
+  assert ''.join('ACGT'[b] for b in top['pwm'].argmax(-1)) == motif
+  report = json.loads((tmp_path / 'report.json').read_text())
+  assert report[0]['consensus'] == motif
+  assert (tmp_path / 'motifs.meme').read_text().startswith('MEME')

@@ -257,3 +257,73 @@ def test_enformer_tower_deferred_pool_matches_unfused():
   finally:
     os.environ.pop('SVDD_FUSED_NACDR')
   np.testing.assert_allclose(fused, plain, atol=2e-4)
+
+
+def test_attn_l2_matches_general_attention():
+  """The fused L=2 attention path == the general einsum formulation
+  with the same parameters (models/enformer.py general branch math,
+  replicated inline)."""
+  import math
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.models.enformer import (EnformerAttention,
+                                        relative_positional_basis,
+                                        relative_shift)
+
+  h, dk, dv, dim, feats = 2, 8, 128, 256, 12
+  mod = EnformerAttention(dim=dim, heads=h, dim_key=dk, dim_value=dv,
+                          num_rel_pos_features=feats)
+  x = jax.random.normal(jax.random.key(0), (3, 2, dim))
+  vars_ = mod.init(jax.random.key(1), x)
+  got = mod.apply(vars_, x)
+
+  p = vars_['params']
+  b, n = x.shape[:2]
+  q = (x @ p['to_q']['kernel']).reshape(b, n, h, dk).transpose(
+      0, 2, 1, 3) / math.sqrt(dk)
+  k = (x @ p['to_k']['kernel']).reshape(b, n, h, dk).transpose(
+      0, 2, 1, 3)
+  v = (x @ p['to_v']['kernel']).reshape(b, n, h, dv).transpose(
+      0, 2, 1, 3)
+  content = jnp.einsum('bhid,bhjd->bhij',
+                       q + p['rel_content_bias'], k)
+  positions = jnp.asarray(relative_positional_basis(n, feats))
+  rel_k = (positions @ p['to_rel_k']['kernel']).reshape(
+      2 * n - 1, h, dk).transpose(1, 0, 2)
+  rel = jnp.einsum('bhid,hjd->bhij', q + p['rel_pos_bias'], rel_k)
+  rel = relative_shift(rel)
+  attn = jax.nn.softmax(content + rel, axis=-1)
+  out = jnp.einsum('bhij,bhjd->bhid', attn, v)
+  out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dv)
+  want = out @ p['to_out']['kernel'] + p['to_out']['bias']
+
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2e-4)
+
+  # sown attention maps match the general softmax
+  _, inter = mod.apply(vars_, x, mutable=['intermediates'])
+  sown = np.asarray(inter['intermediates']['attention'][0])
+  np.testing.assert_allclose(sown, np.asarray(attn), atol=1e-4)
+
+  # grad parity through the custom-vjp (classifier-guidance path)
+  g_fused = jax.grad(lambda x: (mod.apply(vars_, x) ** 2).sum())(x)
+  def general(x):
+    q = (x @ p['to_q']['kernel']).reshape(b, n, h, dk).transpose(
+        0, 2, 1, 3) / math.sqrt(dk)
+    k = (x @ p['to_k']['kernel']).reshape(b, n, h, dk).transpose(
+        0, 2, 1, 3)
+    v = (x @ p['to_v']['kernel']).reshape(b, n, h, dv).transpose(
+        0, 2, 1, 3)
+    content = jnp.einsum('bhid,bhjd->bhij',
+                         q + p['rel_content_bias'], k)
+    rel = relative_shift(jnp.einsum('bhid,hjd->bhij',
+                                    q + p['rel_pos_bias'], rel_k))
+    attn = jax.nn.softmax(content + rel, axis=-1)
+    out = jnp.einsum('bhij,bhjd->bhid', attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dv)
+    return ((out @ p['to_out']['kernel']
+             + p['to_out']['bias']) ** 2).sum()
+  g_want = jax.grad(general)(x)
+  np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_want),
+                             rtol=2e-3, atol=2e-3)
