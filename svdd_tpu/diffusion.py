@@ -279,10 +279,14 @@ class Diffusion:
 
     class _Sampler:
       """key -> SampleResult; exposes the underlying jitted fn for
-      cached cost analysis / AOT lowering."""
+      cached cost analysis / AOT lowering. ``variables`` overrides the
+      denoiser params per call WITHOUT recompiling (they are jit
+      arguments) — the in-training sample-quality eval reuses one
+      compiled sampler across EMA snapshots this way."""
 
-      def __call__(self, key):
-        return jitted(den_vars, extra_vars, key)
+      def __call__(self, key, variables=None):
+        return jitted(den_vars if variables is None else variables,
+                      extra_vars, key)
 
       def cost_analysis(self, key):
         compiled = jitted.lower(den_vars, extra_vars, key).compile()

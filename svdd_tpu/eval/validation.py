@@ -26,13 +26,22 @@ from svdd_tpu.data import gosai
 from svdd_tpu.eval import metrics
 
 
+_SAMPLER_CACHE: dict = {}
+
+
 def sample_sequences(diffusion, variables, n_batches: int,
                      batch_size: int, key: jax.Array) -> np.ndarray:
-  sampler = diffusion.sampler(batch_size, variables=variables)
+  # one compiled sampler per (model, batch_size); EMA snapshots are
+  # jit arguments, so repeated in-training evals don't recompile
+  cache_key = (id(diffusion), batch_size)
+  sampler = _SAMPLER_CACHE.get(cache_key)
+  if sampler is None:
+    sampler = diffusion.sampler(batch_size)
+    _SAMPLER_CACHE[cache_key] = sampler
   out = []
   for i in range(n_batches):
     key, sub = jax.random.split(key)
-    out.append(np.asarray(sampler(sub).samples))
+    out.append(np.asarray(sampler(sub, variables=variables).samples))
   return np.concatenate(out)
 
 

@@ -95,13 +95,13 @@ def _kernel(q_ref, k_ref, v_ref, bc_ref, bp_ref, r0_ref, r1_ref,
   k = k_ref[:].astype(jnp.float32)
   sel = s_ref[:]
   dn = (((1,), (0,)), ((), ()))
-  l0 = jax.lax.dot_general(
-      (qc * k[:, 0:1, :] + qp * r0_ref[:][None]).reshape(tn * 2, -1),
-      sel, dn, preferred_element_type=jnp.float32)
-  l1 = jax.lax.dot_general(
-      (qc * k[:, 1:2, :] + qp * r1_ref[:][None]).reshape(tn * 2, -1),
-      sel, dn, preferred_element_type=jnp.float32)
-  w = jax.nn.sigmoid(l0 - l1)                          # (tn*2, H)
+  # ONE dot for both j logits: the j=0 and j=1 operands differ only
+  # elementwise, so subtract first and reduce the difference
+  diff = (qc * (k[:, 0:1, :] - k[:, 1:2, :])
+          + qp * (r0_ref[:] - r1_ref[:])[None])
+  ld = jax.lax.dot_general(diff.reshape(tn * 2, -1), sel, dn,
+                           preferred_element_type=jnp.float32)
+  w = jax.nn.sigmoid(ld)                               # (tn*2, H)
   wv = jax.lax.dot_general(w, e_ref[:], dn,
                            preferred_element_type=jnp.float32)
   v = v_ref[:].astype(jnp.float32)
@@ -122,7 +122,7 @@ def attn_l2_pallas(q, k, v, bc, bp, relk, sel, exp,
   dv = v.shape[-1]
   heads = sel.shape[-1]
   relk_j0, relk_j1 = _prep_relk(relk)
-  tile_n = 512
+  tile_n = 1280      # f32 blend temps cap the block at ~60MB VMEM
   while n % tile_n:
     tile_n //= 2
   grid = (n // tile_n,)
