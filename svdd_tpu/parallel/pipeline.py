@@ -124,9 +124,114 @@ def gpipe(stage_fn: Callable, stage_params: Any, x: Array,
   return out.reshape((b,) + x.shape[1:])
 
 
+def stack_stage_params_interleaved(per_block_params: list,
+                                   blocks_per_chunk: int,
+                                   virtual: int) -> Any:
+  """[L block trees] -> leaves (S, V, k, ...) for gpipe_interleaved:
+  virtual stage j = v*S + d holds blocks [j*k, (j+1)*k); device d's
+  chunk v is leaf[d, v]."""
+  n = len(per_block_params)
+  assert n % (blocks_per_chunk * virtual) == 0
+  s = n // (blocks_per_chunk * virtual)
+  stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_block_params)
+
+  def rearrange(x):
+    # (L, ...) -> (V, S, k, ...) virtual-stage-major -> (S, V, k, ...)
+    x = x.reshape((virtual, s, blocks_per_chunk) + x.shape[1:])
+    return jnp.swapaxes(x, 0, 1)
+  return jax.tree.map(rearrange, stacked)
+
+
+def gpipe_interleaved(stage_fn: Callable, stage_params: Any, x: Array,
+                      mb_args: tuple = (), bcast_args: tuple = (), *,
+                      mesh: Mesh, virtual: int,
+                      axis_name: str = PIPE_AXIS) -> Array:
+  """Interleaved (Megatron-style virtual-stage) pipeline schedule.
+
+  Each device holds ``virtual`` NON-contiguous layer chunks (device d
+  owns virtual stages d, d+S, ..., d+(V-1)S); every microbatch rides
+  the ring V times. With M = S microbatches the bubble drops from
+  GPipe's (S-1)/(2S-1) to (S-1)/(V*S + S - 1) — e.g. 4 stages, V=2:
+  43% -> 27% idle. This is the LOW-LATENCY schedule: for M >> S plain
+  `gpipe` already amortizes its single fill/drain and does fewer,
+  larger stage calls — use it instead (the classic 1F1B memory
+  argument doesn't apply here: XLA's autodiff schedules the backward,
+  and activation memory is the scan's saved carries either way).
+
+  stage_fn(params_k, x_mb, *mb_args_mb, *bcast_args) with params_k one
+  (k, ...) chunk; stage_params leaves (S, V, k, ...)
+  (stack_stage_params_interleaved). Microbatch count is fixed at S.
+  """
+  from jax.experimental.shard_map import shard_map
+
+  s = mesh.shape[axis_name]
+  v_chunks = virtual
+  b = x.shape[0]
+  m = s                      # microbatches == stages (see docstring)
+  assert b % m == 0, (b, m)
+
+  def to_mb(a):
+    return a.reshape((m, b // m) + a.shape[1:])
+
+  x_mbs = to_mb(x)
+  mb_mbs = tuple(to_mb(a) for a in mb_args)
+  n_ticks = v_chunks * s + s - 1
+
+  def worker(params, x_mbs, mb_mbs, bcast):
+    params = jax.tree.map(lambda p: p[0], params)    # (V, k, ...)
+    stage = jax.lax.axis_index(axis_name)
+    outs0 = jnp.zeros_like(x_mbs)
+
+    def tick(carry, t):
+      cur, outs = carry
+      rel = t - stage
+      mi = jnp.clip(rel % s, 0, m - 1)
+      vi = jnp.clip(rel // s, 0, v_chunks - 1)
+      inject = jnp.logical_and(stage == 0,
+                               jnp.logical_and(rel >= 0, rel < s))
+      inp = jnp.where(
+          inject,
+          jax.lax.dynamic_index_in_dim(x_mbs, jnp.clip(t, 0, m - 1),
+                                       0, keepdims=False),
+          cur)
+      params_v = jax.tree.map(
+          lambda p: jax.lax.dynamic_index_in_dim(p, vi, 0,
+                                                 keepdims=False),
+          params)
+      mbs_t = tuple(
+          jax.lax.dynamic_index_in_dim(a, mi, 0, keepdims=False)
+          for a in mb_mbs)
+      out = stage_fn(params_v, inp, *mbs_t, *bcast)
+      # device S-1 finishing chunk V-1 deposits microbatch mi
+      valid = jnp.logical_and(stage == s - 1, rel // s == v_chunks - 1)
+      prev = jax.lax.dynamic_index_in_dim(outs, mi, 0, keepdims=False)
+      outs = jax.lax.dynamic_update_index_in_dim(
+          outs, jnp.where(valid, out, prev), mi, 0)
+      nxt = jax.lax.ppermute(out, axis_name,
+                             [(i, (i + 1) % s) for i in range(s)])
+      return (nxt, outs), None
+
+    (_, outs), _ = jax.lax.scan(
+        tick, (jnp.zeros_like(x_mbs[0]), outs0), jnp.arange(n_ticks))
+    outs = jax.lax.psum(
+        jnp.where(stage == s - 1, outs, jnp.zeros_like(outs)),
+        axis_name)
+    return outs
+
+  spec_p = jax.tree.map(lambda _: P(axis_name), stage_params)
+  out = shard_map(
+      worker, mesh=mesh,
+      in_specs=(spec_p, P(), P(), P()),
+      out_specs=P(),
+      check_rep=False,
+  )(stage_params, x_mbs, mb_mbs, bcast_args)
+  return out.reshape((b,) + x.shape[1:])
+
+
 def pipeline_dit_forward(dit, variables: Any, indices: Array,
                          sigma: Array, *, mesh: Mesh,
                          num_microbatches: int,
+                         virtual: int = 1,
                          axis_name: str = PIPE_AXIS) -> Array:
   """Inference forward of a DIT backbone with its block stack
   pipelined over the 'pipe' mesh axis.
@@ -134,7 +239,9 @@ def pipeline_dit_forward(dit, variables: Any, indices: Array,
   Equivalent to ``dit.apply(variables, indices, sigma)`` (eval mode):
   embedding, timestep conditioning and the final layer run replicated;
   the n_blocks DDiTBlocks are split into mesh.shape[axis] stages.
-  n_blocks must divide evenly by the stage count.
+  n_blocks must divide evenly by the stage count. ``virtual > 1``
+  switches to the interleaved low-latency schedule
+  (gpipe_interleaved; microbatch count becomes the stage count).
   """
   from svdd_tpu.models.dit import (DDiTBlock, DDitFinalLayer,
                                    TimestepEmbedder, rotary_cos_sin)
@@ -156,7 +263,6 @@ def pipeline_dit_forward(dit, variables: Any, indices: Array,
   blk = DDiTBlock(dim, mcfg.n_heads, mcfg.cond_dim,
                   dropout=mcfg.dropout)
   per_block = [params[f'block_{i}'] for i in range(mcfg.n_blocks)]
-  stacked = stack_stage_params(per_block, mcfg.n_blocks // s)
 
   def stage_fn(params_k, h, c, cos, sin):
     h, _ = jax.lax.scan(
@@ -164,9 +270,17 @@ def pipeline_dit_forward(dit, variables: Any, indices: Array,
         h, params_k)
     return h
 
-  x = gpipe(stage_fn, stacked, x, mb_args=(c,), bcast_args=(cos, sin),
-            mesh=mesh, num_microbatches=num_microbatches,
-            axis_name=axis_name)
+  if virtual > 1:
+    stacked = stack_stage_params_interleaved(
+        per_block, mcfg.n_blocks // (s * virtual), virtual)
+    x = gpipe_interleaved(stage_fn, stacked, x, mb_args=(c,),
+                          bcast_args=(cos, sin), mesh=mesh,
+                          virtual=virtual, axis_name=axis_name)
+  else:
+    stacked = stack_stage_params(per_block, mcfg.n_blocks // s)
+    x = gpipe(stage_fn, stacked, x, mb_args=(c,),
+              bcast_args=(cos, sin), mesh=mesh,
+              num_microbatches=num_microbatches, axis_name=axis_name)
   x = DDitFinalLayer(dim, dit.vocab_size, mcfg.cond_dim).apply(
       {'params': params['DDitFinalLayer_0']}, x, c)
   return x.astype(jnp.float32)
