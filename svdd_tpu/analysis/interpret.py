@@ -248,8 +248,10 @@ def run_modisco(attributions: np.ndarray, onehots: np.ndarray,
   try:
     from svdd_tpu.analysis.visualize import plot_sequence_logo
     for i, m in enumerate(motifs[:8]):
-      info = m['pwm'] * np.log2(np.maximum(m['pwm'], 1e-9) / 0.25).sum(
+      # per-position information content: IC = sum_b p_b log2(p_b/q)
+      ic = (m['pwm'] * np.log2(np.maximum(m['pwm'], 1e-9) / 0.25)).sum(
           -1, keepdims=True).clip(min=0)
+      info = m['pwm'] * ic
       plot_sequence_logo(
           info, save_path=os.path.join(out_dir, f'motif_{i}.png'))
   except Exception:                                  # noqa: BLE001

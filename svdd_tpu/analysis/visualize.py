@@ -162,8 +162,9 @@ def plot_distribution(values, title: str = 'metric',
   elif method == 'density':
     from scipy.stats import gaussian_kde
     xs = np.linspace(values.min(), values.max(), 200)
-    ax.plot(xs, gaussian_kde(values)(xs))
-    ax.fill_between(xs, gaussian_kde(values)(xs), alpha=0.3)
+    ys = gaussian_kde(values)(xs)
+    ax.plot(xs, ys)
+    ax.fill_between(xs, ys, alpha=0.3)
   else:
     raise ValueError(method)
   ax.set_xlabel(title)
@@ -384,13 +385,16 @@ def plot_tracks(tracks: np.ndarray, start_pos: int = 0,
   plt = _plt()
   tracks = np.atleast_2d(np.asarray(tracks, float))
   n = tracks.shape[0]
-  end_pos = end_pos or start_pos + tracks.shape[1]
-  xs = np.arange(start_pos, end_pos)
+  track_len = tracks.shape[1]
+  end_pos = end_pos or start_pos + track_len
+  # the FULL track maps onto [start_pos, end_pos] (reference
+  # visualize.py:614-716 semantics), not a truncation
+  xs = np.linspace(start_pos, end_pos, num=track_len)
   titles = titles or [''] * n
   fig, axes = plt.subplots(n, 1, figsize=(12, 1.4 * n), sharex=True,
                            squeeze=False)
   for t, ax in enumerate(axes[:, 0]):
-    ax.fill_between(xs, tracks[t, :len(xs)], lw=0.6)
+    ax.fill_between(xs, tracks[t], lw=0.6)
     ax.set_ylabel(titles[t], rotation=0, ha='right', fontsize=8)
     if highlight_intervals is not None:
       add_highlights(ax, highlight_intervals)

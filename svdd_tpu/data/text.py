@@ -325,7 +325,11 @@ def get_hf_text_dataset(dataset_name: str, tokenizer, *,
         '(reference dataloader.py:303)') from e
   if 'split' not in kwargs:
     ds = ds[mode]
-  texts = ds[field] if max_docs is None else ds[field][:max_docs]
+  if max_docs is not None:
+    # select BEFORE decoding the text column — ds[field] would
+    # materialize every document first (openwebtext: ~8M docs)
+    ds = ds.select(range(min(max_docs, len(ds))))
+  texts = ds[field]
   detok = DETOKENIZERS.get(dataset_name)
   return tokenize_texts(texts, tokenizer, wrap=wrap,
                         block_size=block_size, detokenizer=detok)

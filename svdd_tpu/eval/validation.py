@@ -26,18 +26,27 @@ from svdd_tpu.data import gosai
 from svdd_tpu.eval import metrics
 
 
-_SAMPLER_CACHE: dict = {}
+import weakref
+
+# compiled-sampler cache: weak-keyed on the Diffusion object (entries
+# die with the model — no executable leak across models) and keyed on
+# the sampling config inside (stale-config safe)
+_SAMPLER_CACHE: 'weakref.WeakKeyDictionary' = weakref.WeakKeyDictionary()
 
 
 def sample_sequences(diffusion, variables, n_batches: int,
                      batch_size: int, key: jax.Array) -> np.ndarray:
-  # one compiled sampler per (model, batch_size); EMA snapshots are
-  # jit arguments, so repeated in-training evals don't recompile
-  cache_key = (id(diffusion), batch_size)
-  sampler = _SAMPLER_CACHE.get(cache_key)
+  # one compiled sampler per (model, batch, sampling config); EMA
+  # snapshots are jit arguments, so repeated in-training evals don't
+  # recompile
+  per_model = _SAMPLER_CACHE.setdefault(diffusion, {})
+  cfg_key = (batch_size, diffusion.config.sampling.steps,
+             diffusion.config.sampling.predictor,
+             diffusion.config.noise.type)
+  sampler = per_model.get(cfg_key)
   if sampler is None:
     sampler = diffusion.sampler(batch_size)
-    _SAMPLER_CACHE[cache_key] = sampler
+    per_model[cfg_key] = sampler
   out = []
   for i in range(n_batches):
     key, sub = jax.random.split(key)

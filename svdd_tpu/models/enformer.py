@@ -238,7 +238,9 @@ class EnformerConvTower(nn.Module):
     # (ops/attn_pool_pallas.pool_prologue_im2col) — only pure matmuls
     # touch HBM between kernels. The LAST pool feeds the transformer
     # and materializes normally.
-    defer = blocks.use_fused_nacdr() and not train
+    # only defer when a consuming conv block exists (n_blocks > 1)
+    defer = (blocks.use_fused_nacdr() and not train
+             and self.n_blocks > 1)
     x = Conv1D(half, 15, dtype=x.dtype, name='stem_conv')(x)
     x = blocks.ConvBlock(
         in_channels=half, out_channels=half, kernel_size=1,

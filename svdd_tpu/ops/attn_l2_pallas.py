@@ -184,14 +184,8 @@ _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 def use_pallas_attn_l2() -> bool:
   """Default ON for TPU (opt out with SVDD_PALLAS_ATTN_L2=0)."""
-  import os
-  env = os.environ.get('SVDD_PALLAS_ATTN_L2')
-  if env is not None:
-    return env == '1'
-  try:
-    return jax.default_backend() == 'tpu'
-  except Exception:                                  # noqa: BLE001
-    return False
+  from svdd_tpu.ops.kernel_utils import default_on_tpu
+  return default_on_tpu('SVDD_PALLAS_ATTN_L2')
 
 
 def attn_l2(q, k, v, bc, bp, relk, heads: int,

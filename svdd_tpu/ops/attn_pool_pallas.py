@@ -131,21 +131,8 @@ _fused_core.defvjp(_fused_fwd, _fused_bwd)
 # materialization, and the pad/DUS im2col build all stay in VMEM.
 
 
-def _act(name, x):
-  if name is None:
-    return x
-  if name == 'gelu_enformer':
-    return x * jax.nn.sigmoid(1.702 * x)
-  if name == 'relu':
-    return jnp.maximum(x, 0.0)
-  if name == 'gelu':
-    return jax.nn.gelu(x, approximate=False)
-  raise NotImplementedError(name)
-
-
-def _live_offsets(k_taps: int, length: int):
-  half = (k_taps - 1) // 2
-  return [k - half for k in range(k_taps) if -length < k - half < length]
+from svdd_tpu.ops.kernel_utils import (act as _act, default_on_tpu,
+                                       live_offsets as _live_offsets)
 
 
 def pool_prologue_im2col_reference(x: Array, logits: Array,
@@ -285,14 +272,7 @@ def pool_prologue_im2col(x: Array, logits: Array, scale: Array,
 
 def use_pallas_attn_pool() -> bool:
   """Default ON for TPU (opt out with SVDD_PALLAS_ATTN_POOL=0)."""
-  import os
-  env = os.environ.get('SVDD_PALLAS_ATTN_POOL')
-  if env is not None:
-    return env == '1'
-  try:
-    return jax.default_backend() == 'tpu'
-  except Exception:                                  # noqa: BLE001
-    return False
+  return default_on_tpu('SVDD_PALLAS_ATTN_POOL')
 
 
 def attn_pool_fused(x: Array, logits: Array,

@@ -27,21 +27,12 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def _act(name, x):
-  if name is None:
-    return x
-  if name == 'gelu_enformer':
-    return x * jax.nn.sigmoid(1.702 * x)
-  if name == 'relu':
-    return jnp.maximum(x, 0.0)
-  if name == 'gelu':
-    return jax.nn.gelu(x, approximate=False)
-  raise NotImplementedError(name)
+from svdd_tpu.ops.kernel_utils import (act as _act, default_on_tpu,
+                                       live_offsets)
 
 
 def _live_offsets(k_taps: int, length: int) -> list[int]:
-  half = (k_taps - 1) // 2
-  return [k - half for k in range(k_taps) if -length < k - half < length]
+  return live_offsets(k_taps, length)
 
 
 def nacdr_im2col_reference(x: Array, scale: Array, shift: Array,
@@ -157,14 +148,7 @@ _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 def use_pallas_im2col() -> bool:
   """Default ON for TPU (opt out with SVDD_PALLAS_IM2COL=0)."""
-  import os
-  env = os.environ.get('SVDD_PALLAS_IM2COL')
-  if env is not None:
-    return env == '1'
-  try:
-    return jax.default_backend() == 'tpu'
-  except Exception:                                  # noqa: BLE001
-    return False
+  return default_on_tpu('SVDD_PALLAS_IM2COL')
 
 
 def nacdr_conv1d(x: Array, kernel: Array, bias: Array, scale: Array,

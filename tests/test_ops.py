@@ -248,7 +248,7 @@ def test_enformer_tower_deferred_pool_matches_unfused():
 
   vm = EnformerValueModel(n_tasks=1, n_conv=4, channels=256,
                           n_transformers=1, n_heads=2, key_len=8)
-  x = jax.random.normal(jax.random.key(0), (2, 50, 4))
+  x = jax.random.normal(jax.random.key(0), (2, 32, 4))
   v = jax.jit(vm.init)(jax.random.key(1), x)
   fused = np.asarray(vm.apply(v, x))
   os.environ['SVDD_FUSED_NACDR'] = '0'
@@ -327,3 +327,34 @@ def test_attn_l2_matches_general_attention():
   g_want = jax.grad(general)(x)
   np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_want),
                              rtol=2e-3, atol=2e-3)
+
+
+def test_attn_l2_kernel_interpret_matches_reference():
+  """The Pallas attn_l2 _kernel itself (interpret mode) == the jnp
+  reference — covers the one-dot diff trick and BlockSpec wiring that
+  the CPU dispatcher otherwise bypasses."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_l2_pallas as al
+
+  h, dk, dv = 2, 64, 64          # dqk = dv = 128 (tile-able)
+  n = 8
+  key = jax.random.key(3)
+  q = jax.random.normal(key, (n, 2, h * dk), jnp.float32)
+  k = jax.random.normal(jax.random.fold_in(key, 1), (n, 2, h * dk))
+  v = jax.random.normal(jax.random.fold_in(key, 2), (n, 2, h * dv))
+  bc = jax.random.normal(jax.random.fold_in(key, 3), (h * dk,))
+  bp = jax.random.normal(jax.random.fold_in(key, 4), (h * dk,))
+  relk = jax.random.normal(jax.random.fold_in(key, 5), (3, h * dk))
+  sel = jnp.asarray(al.head_selector(h, dk), jnp.float32)
+  exp = jnp.asarray(al.head_expander(h, dv), jnp.float32)
+
+  want_out, want_w = al.attn_l2_reference(q, k, v, bc, bp, relk, sel,
+                                          exp)
+  got_out, got_w = al.attn_l2_pallas(q, k, v, bc, bp, relk, sel, exp,
+                                     interpret=True)
+  np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                             atol=1e-5)
