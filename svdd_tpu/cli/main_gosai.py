@@ -61,7 +61,7 @@ def _make_sample_eval_fn(cfg: Config, args, model):
   (diffusion_gosai.py:451-565): Wasserstein truth/pred per cell type,
   3-mer Pearson, emb-PCA Wasserstein, on EMA samples. Oracle = loaded
   checkpoint when given, else the synthetic motif oracle stand-in."""
-  from svdd_tpu import mdlm, rewards
+  from svdd_tpu import rewards
   from svdd_tpu.eval import validation
 
   datasets = {}

@@ -158,3 +158,35 @@ def test_main_gosai_cli_smoke(tmp_path):
       capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
   assert out.returncode == 0, out.stderr[-2000:]
   assert 'val/nll' in out.stderr + out.stdout
+
+
+def test_parity_harness_fixture_path(tmp_path):
+  """scripts/parity_harness.py end-to-end on generated mock torch
+  checkpoints: fixture generation -> torch import (diffusion CNN +
+  ConvGRU value + grelu-style oracle) -> decode -> report (VERDICT r1
+  item 7; the 'make parity-fixtures' path at tiny sizes)."""
+  import importlib.util
+  import os
+  import sys
+  import types
+
+  spec = importlib.util.spec_from_file_location(
+      'parity_harness',
+      os.path.join(os.path.dirname(os.path.dirname(
+          os.path.abspath(__file__))), 'scripts', 'parity_harness.py'))
+  ph = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(ph)
+
+  art = tmp_path / 'artifacts'
+  out = tmp_path / 'out'
+  ph.make_fixtures(str(art), 'rna')
+  args = types.SimpleNamespace(
+      task='rna', artifacts_dir=str(art), batch_size=4,
+      val_batch_num=1, sample_M=2, num_steps=4, seed=0, alpha=0.5,
+      guidance_scale=10.0, out_dir=str(out), algos='mc')
+  outputs = ph.run_all(args)
+  assert outputs and os.path.exists(outputs[0])
+  import numpy as np
+  d = np.load(outputs[0])
+  assert set(d.files) == {'decoding', 'baseline'}
+  assert d['decoding'].shape == (4,)
