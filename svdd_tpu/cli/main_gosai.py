@@ -103,7 +103,17 @@ def _make_sample_eval_fn(cfg: Config, args, model):
 def _train(cfg: Config, args) -> None:
   mesh = None
   n_dev = len(jax.devices())
-  if n_dev > 1:
+  if cfg.parallel.pipeline_stages > 1:
+    # pipeline-parallel DiT training: pipe-only mesh (the GPipe
+    # schedule owns all devices; parallel/pipeline.py)
+    import numpy as np
+    from jax.sharding import Mesh
+    s = cfg.parallel.pipeline_stages
+    if n_dev < s:
+      raise ValueError(f'pipeline_stages={s} but only {n_dev} devices')
+    mesh = Mesh(np.asarray(jax.devices()[:s]).reshape(s), ('pipe',))
+    LOGGER.info('pipeline mesh: %s', mesh)
+  elif n_dev > 1:
     from svdd_tpu.parallel import mesh as M
     # the per-host batch must divide the data axis; clamp to the
     # largest usable device count rather than crash on tiny batches

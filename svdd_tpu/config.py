@@ -129,6 +129,13 @@ class ParallelConfig:
   fsdp: bool = False           # shard params/opt-state over data axis
   fsdp_min_size: int = 2 ** 14  # replicate params smaller than this
   precision: str = 'bf16'      # compute dtype for model forwards
+  # pipeline parallelism for the DiT text-MDLM training loop (beyond
+  # the data-parallel-only reference, SURVEY §2.2): split the n_blocks
+  # DDiTBlock stack into `pipeline_stages` GPipe stages over a 'pipe'
+  # mesh axis (parallel/pipeline.py). 0 microbatches -> 4x stages.
+  pipeline_stages: int = 1
+  pipeline_microbatches: int = 0
+  pipeline_virtual: int = 1    # >1: interleaved (Megatron) schedule
 
 
 @dataclass

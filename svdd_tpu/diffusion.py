@@ -136,11 +136,19 @@ class Diffusion:
 
   def loss(self, variables: Any, key: jax.Array, x0: Array,
            attention_mask: Array | None = None,
-           train: bool = False, dropout_rng: jax.Array | None = None
-           ) -> mdlm.LossOutput:
+           train: bool = False, dropout_rng: jax.Array | None = None,
+           apply_fn: Any | None = None) -> mdlm.LossOutput:
     """Diffusion training loss (_loss/_forward_pass_diffusion,
-    diffusion_gosai.py:1709-1779)."""
+    diffusion_gosai.py:1709-1779).
+
+    apply_fn optionally replaces ``self.backbone.apply`` for the
+    denoiser forward — used by the pipeline-parallel training path
+    (parallel/pipeline.pipelined_backbone_apply), which computes the
+    same logits with the block stack sharded over a 'pipe' mesh axis.
+    """
     cfg = self.config
+    backbone_apply = (self.backbone.apply if apply_fn is None
+                      else apply_fn)
     if self.parameterization == 'ar':
       # AR baseline: shifted next-token NLL, no diffusion machinery
       # (_loss 'ar' branch + _maybe_sub_sample input/output split,
@@ -156,8 +164,8 @@ class Diffusion:
       mask = attention_mask[:, 1:]
       rngs = ({'dropout': dropout_rng} if dropout_rng is not None
               else None)
-      logprobs = self.backbone.apply(variables, input_tokens, None,
-                                     train=train, rngs=rngs)
+      logprobs = backbone_apply(variables, input_tokens, None,
+                                train=train, rngs=rngs)
       nll = -jnp.take_along_axis(logprobs, output_tokens[..., None],
                                  -1)[..., 0]
       nlls = nll * mask
@@ -177,8 +185,8 @@ class Diffusion:
 
     sigma_in = self._process_sigma(sigma)
     rngs = {'dropout': dropout_rng} if dropout_rng is not None else None
-    logits = self.backbone.apply(variables, xt, sigma_in, train=train,
-                                 rngs=rngs)
+    logits = backbone_apply(variables, xt, sigma_in, train=train,
+                            rngs=rngs)
     model_output = self._parameterize(logits, xt, sigma)
 
     if self.parameterization == 'sedd':
@@ -191,7 +199,7 @@ class Diffusion:
         # reconstruction term (diffusion_gosai.py:1697-1707)
         t0 = jnp.zeros(x0.shape[0])
         sigma_t0 = self.schedule.total(t0)
-        logits0 = self.backbone.apply(
+        logits0 = backbone_apply(
             variables, x0, self._process_sigma(sigma_t0), train=train,
             rngs=rngs)
         out0 = self._parameterize(logits0, x0, sigma_t0)

@@ -284,3 +284,41 @@ def pipeline_dit_forward(dit, variables: Any, indices: Array,
   x = DDitFinalLayer(dim, dit.vocab_size, mcfg.cond_dim).apply(
       {'params': params['DDitFinalLayer_0']}, x, c)
   return x.astype(jnp.float32)
+
+
+def pipelined_backbone_apply(dit, *, mesh: Mesh,
+                             num_microbatches: int = 0,
+                             virtual: int = 1,
+                             axis_name: str = PIPE_AXIS):
+  """Drop-in replacement for ``dit.apply`` usable as the ``apply_fn``
+  of ``Diffusion.loss`` — wires pipeline parallelism into the text
+  MDLM TRAINING loop (the reference trains data-parallel only,
+  SURVEY §2.2; `gpipe` is differentiable by construction, so jax.grad
+  of the loss yields the GPipe backward schedule).
+
+  The forward is deterministic (no dropout): `gpipe` stages run eval
+  mode. Enforced here because silently dropping dropout would change
+  training semantics.
+
+  Intended for a pipe-only mesh; composing with a 'data' axis needs
+  batch-sharded microbatches and is not wired yet.
+  """
+  s = mesh.shape[axis_name]
+  if dit.config.model.n_blocks % (s * virtual):
+    raise ValueError(
+        f'n_blocks={dit.config.model.n_blocks} must divide '
+        f'stages*virtual={s}*{virtual}')
+  if dit.config.model.dropout:
+    raise ValueError('pipelined training forward is deterministic; '
+                     'set model.dropout=0 to use pipeline_stages>1')
+  if num_microbatches <= 0:
+    num_microbatches = 4 * s    # (S-1)/(M+S-1) bubble < 20%
+
+  def apply_fn(variables, x, sigma, train=False, rngs=None, **kw):
+    del train, rngs, kw    # deterministic forward (checked above)
+    return pipeline_dit_forward(
+        dit, variables, x, sigma, mesh=mesh,
+        num_microbatches=num_microbatches, virtual=virtual,
+        axis_name=axis_name)
+
+  return apply_fn

@@ -75,16 +75,39 @@ def init_state(model: Diffusion, config: Config,
   )
 
 
-def make_train_step(model: Diffusion, config: Config):
+def _pipeline_apply_fn(model: Diffusion, config: Config, mesh):
+  """Build the pipelined denoiser forward when configured (else None).
+  Wires parallel/pipeline.py into the (text-MDLM/DiT) training loop."""
+  stages = config.parallel.pipeline_stages
+  if stages <= 1:
+    return None
+  if config.backbone != 'dit':
+    raise ValueError('pipeline_stages>1 supports the dit backbone '
+                     f'only (got {config.backbone!r})')
+  if mesh is None or 'pipe' not in mesh.shape:
+    raise ValueError("pipeline_stages>1 needs a mesh with a 'pipe' "
+                     'axis (parallel.pipeline.PIPE_AXIS)')
+  if mesh.shape['pipe'] != stages:
+    raise ValueError(f"mesh 'pipe' axis {mesh.shape['pipe']} != "
+                     f'pipeline_stages {stages}')
+  from svdd_tpu.parallel.pipeline import pipelined_backbone_apply
+  return pipelined_backbone_apply(
+      model.backbone, mesh=mesh,
+      num_microbatches=config.parallel.pipeline_microbatches,
+      virtual=config.parallel.pipeline_virtual)
+
+
+def make_train_step(model: Diffusion, config: Config, mesh=None):
   opt = make_optimizer(config)
   accum = max(1, getattr(config.training, 'accum_steps', 1))
+  apply_fn = _pipeline_apply_fn(model, config, mesh)
 
   def microbatch_grads(params, extras, batch, loss_key, drop_key):
     def loss_fn(params):
       variables = {'params': params, **extras}
       out = model.loss(variables, loss_key, batch['seqs'],
                        batch.get('attention_mask'), train=True,
-                       dropout_rng=drop_key)
+                       dropout_rng=drop_key, apply_fn=apply_fn)
       return out.loss
     return jax.value_and_grad(loss_fn)(params)
 
@@ -127,13 +150,15 @@ def make_train_step(model: Diffusion, config: Config):
   return train_step
 
 
-def make_eval_step(model: Diffusion, config: Config):
+def make_eval_step(model: Diffusion, config: Config, mesh=None):
+  apply_fn = _pipeline_apply_fn(model, config, mesh)
+
   def eval_step(state: TrainState, batch, key):
     params = ema_lib.params(state.ema) \
         if not config.eval.disable_ema else state.params
     variables = {'params': params, **state.extras}
     out = model.loss(variables, key, batch['seqs'],
-                     batch.get('attention_mask'))
+                     batch.get('attention_mask'), apply_fn=apply_fn)
     return out.nlls.sum(), out.token_mask.sum()
   return eval_step
 
@@ -158,9 +183,11 @@ class Trainer:
   sample_eval_fn: Any = None         # (ema_variables, key) -> dict
 
   def __post_init__(self):
-    self.train_step = jax.jit(make_train_step(self.model, self.config),
-                              donate_argnums=(0,))
-    self.eval_step = jax.jit(make_eval_step(self.model, self.config))
+    self.train_step = jax.jit(
+        make_train_step(self.model, self.config, self.mesh),
+        donate_argnums=(0,))
+    self.eval_step = jax.jit(
+        make_eval_step(self.model, self.config, self.mesh))
     self._mgr = None
 
   def _manager(self):
@@ -194,6 +221,11 @@ class Trainer:
     if self.mesh is not None:
       from svdd_tpu.parallel import mesh as M
       if self.config.parallel.fsdp:
+        if M.DATA_AXIS not in self.mesh.shape:
+          raise ValueError(
+              "parallel.fsdp needs a 'data' mesh axis (pipe-only "
+              'meshes replicate params; stage weights are already '
+              'split by the GPipe shard_map)')
         ms = self.config.parallel.fsdp_min_size
         state = TrainState(
             state.step,
@@ -218,7 +250,12 @@ class Trainer:
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     if self.mesh is not None:
       from svdd_tpu.parallel import mesh as M
-      batch = M.shard_batch(batch, self.mesh)
+      if M.DATA_AXIS in self.mesh.shape:
+        batch = M.shard_batch(batch, self.mesh)
+      else:
+        # pipe-only mesh: the GPipe shard_map microbatches the full
+        # batch itself; feed it replicated
+        batch = M.replicate(batch, self.mesh)
     return batch
 
   def fit(self, state: TrainState, train_iter: Iterator,
