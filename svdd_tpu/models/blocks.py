@@ -94,6 +94,25 @@ class AttentionPool(nn.Module):
         'to_attn_logits',
         lambda key, shape: 2.0 * jnp.eye(shape[0], dtype=jnp.float32),
         (c, c))
+    if p == 2:
+      from svdd_tpu.ops import attn_pool_pallas as app
+      if app.wlogits_pool_ok(n + pad, c):
+        # w-logits path: NO XLA logits matmul — the kernel computes
+        # l0-l1 = (x0-x1) @ W in-VMEM (half the FLOPs, hidden under
+        # the kernel's DMA; kills the relayout copy + -inf pad the
+        # materialized logits needed). Odd L: zero-pad x, the kernel
+        # forces the tail pair's blend weight to 1 (same selection the
+        # -inf logits pad produced, Enformer.py:2447-2452).
+        if pad:
+          x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        w_cast = logits_w.astype(x.dtype)
+        if defer:
+          # deferred-pool handoff: the consumer (the next k=5 NACDR
+          # ConvBlock) runs the fused pool+prologue+im2col mega kernel
+          # (ops/attn_pool_pallas.pool_prologue_im2col_wlogits) so the
+          # pooled array never hits HBM
+          return x, w_cast, bool(pad)
+        return app.attn_pool_wlogits(x, w_cast, bool(pad))
     # matmul on the FLAT (B, L, C) layout, then group — grouping first
     # forced an awkward (B, L/2, 2, C) operand layout on TPU
     logits = jnp.dot(x, logits_w.astype(x.dtype),
@@ -104,10 +123,8 @@ class AttentionPool(nn.Module):
       logits = jnp.pad(logits, ((0, 0), (0, pad), (0, 0)),
                        constant_values=jnp.finfo(x.dtype).min)
     if defer and p == 2:
-      # deferred-pool handoff: the consumer (the next k=5 NACDR
-      # ConvBlock) runs the fused pool+prologue+im2col mega kernel
-      # (ops/attn_pool_pallas.pool_prologue_im2col) so the pooled
-      # array never hits HBM
+      # legacy deferred handoff (non-128-aligned C): materialized
+      # logits feed pool_prologue_im2col
       return x, logits
     if p == 2:
       # fused softmax-sum kernel: one VMEM pass over x+logits instead
@@ -218,10 +235,19 @@ class ConvBlock(nn.Module):
       if deferred:
         # pool blend + THIS block's BN affine + act + im2col in one
         # VMEM pass; the conv collapses to a single stacked matmul
-        from svdd_tpu.ops.attn_pool_pallas import pool_prologue_im2col
-        r, logits = x
-        cols = pool_prologue_im2col(r, logits, scale, shift,
-                                    self.kernel_size, self.act_func)
+        from svdd_tpu.ops import attn_pool_pallas as app
+        if len(x) == 3:
+          # w-logits handoff: (x, W, mask_tail) — the kernel computes
+          # the difference-logits dot itself
+          r, w_logits, mask_tail = x
+          cols = app.pool_prologue_im2col_wlogits(
+              r, w_logits, scale, shift, self.kernel_size,
+              self.act_func, mask_tail)
+        else:
+          r, logits = x
+          cols = app.pool_prologue_im2col(r, logits, scale, shift,
+                                          self.kernel_size,
+                                          self.act_func)
         y = conv(None, precols=cols)
       else:
         y = conv(x, prologue=(scale, shift, self.act_func))

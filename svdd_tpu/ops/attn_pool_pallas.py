@@ -286,3 +286,286 @@ def attn_pool_fused(x: Array, logits: Array,
   if use_pallas and ok:
     return _fused_core(x, logits, False)
   return attn_pool_reference(x, logits)
+
+
+# ---------------------------------------------------------------------------
+# W-logits variants: the attention-pool logits matmul moves INTO the
+# kernel as a pairwise-DIFFERENCE dot
+# ---------------------------------------------------------------------------
+#
+# The sigmoid blend only consumes l0 - l1 = (x0 - x1) @ W, so computing
+# logits inside the kernel costs HALF the FLOPs of the XLA logits
+# matmul (which evaluates x @ W at every position) and the dot hides
+# under the kernel's DMA time. What this deletes from the step
+# (trace r2-final, B*M=5120): the per-pool XLA logits matmuls
+# (~15.9 ms), the relayout copies XLA inserted between those matmuls
+# and the Pallas kernels (~5.7 ms, blocks.py:101), the odd-L -inf
+# logits pads (~2 ms), and the logits HBM round-trip itself (the
+# im2col kernels' input traffic halves).
+#
+# Odd-L handling changes shape: the caller still zero-pads x to even L,
+# but there is no logits array to -inf pad — instead the kernel forces
+# the tail pair's blend weight to 1 (select x0, exactly what the -inf
+# pad achieved; blocks.py:102-105, Enformer.py:2447-2452).
+
+
+def attn_pool_wlogits_reference(x: Array, w: Array,
+                                mask_tail: bool) -> Array:
+  """Reference: logits = x @ w then grouped softmax; x even-L padded,
+  mask_tail=True when the last pair's second slot is padding."""
+  logits = jnp.dot(x, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+  if mask_tail:
+    neg = jnp.finfo(jnp.float32).min
+    logits = logits.at[:, -1, :].set(neg)
+  return attn_pool_reference(x, logits)
+
+
+def _pool_wlogits_blend(x, w_ref, *, mask_tail):
+  """Shared in-VMEM blend: (tn, l, c) bf16/f32 -> pooled (tn, l/2, c)
+  f32, with logits computed as the pairwise-difference dot."""
+  tn, l, c = x.shape
+  lh = l // 2
+  xw = x.reshape(tn, lh, 2 * c)
+  x0 = xw[..., :c].astype(jnp.float32)
+  x1 = xw[..., c:].astype(jnp.float32)
+  d = x0 - x1
+  ld = jax.lax.dot_general(
+      d.astype(x.dtype).reshape(tn * lh, c), w_ref[:],
+      (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32).reshape(tn, lh, c)
+  wgt = jax.nn.sigmoid(ld)
+  if mask_tail:
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tn, lh, c), 1)
+    wgt = jnp.where(pos == lh - 1, 1.0, wgt)
+  return x1 + d * wgt
+
+
+def _wl_kernel(x_ref, w_ref, o_ref, *, mask_tail):
+  x = x_ref[:]
+  o_ref[:] = _pool_wlogits_blend(x, w_ref,
+                                 mask_tail=mask_tail).astype(x.dtype)
+
+
+def _pick_tile_n_wl(n: int, l: int, c: int,
+                    budget: int = 56 * 2 ** 20) -> int:
+  best = 0
+  for cand in (1, 2, 4, 8, 16, 32, 64, 128):
+    if n % cand:
+      continue
+    rows = cand * l * c
+    est = (2 * rows * 2          # x bf16 double-buffered
+           + 4 * rows * 4        # f32 blend temps (x0/x1/d/ld)
+           + c * c * 2           # resident W
+           + 2 * rows // 2 * 2)  # out double-buffered
+    if est <= budget:
+      best = cand
+  return best
+
+
+@functools.partial(jax.jit, static_argnames=('mask_tail', 'interpret'))
+def attn_pool_wlogits_pallas(x: Array, w: Array, mask_tail: bool,
+                             interpret: bool = False) -> Array:
+  """Pairwise attention pool with the in-kernel difference-logits dot;
+  x (N, L, C) zero-padded to even L, w (C, C)."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n, l, c = x.shape
+  tile_n = _pick_tile_n_wl(n, l, c)
+  body = functools.partial(_wl_kernel, mask_tail=mask_tail)
+  return pl.pallas_call(
+      body,
+      grid=(n // tile_n,),
+      in_specs=[
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((c, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((tile_n, l // 2, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((n, l // 2, c), x.dtype),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      cost_estimate=pl.CostEstimate(
+          flops=n * l * c * c + 8 * n * l * c,
+          bytes_accessed=x.size * 2 + x.size,
+          transcendentals=n * l // 2 * c),
+      interpret=interpret,
+  )(x, w.astype(x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _wl_core(x, w, mask_tail, interpret):
+  return attn_pool_wlogits_pallas(x, w, mask_tail, interpret=interpret)
+
+
+def _wl_fwd(x, w, mask_tail, interpret):
+  return attn_pool_wlogits_pallas(x, w, mask_tail,
+                                  interpret=interpret), (x, w)
+
+
+def _wl_bwd(mask_tail, interpret, res, ct):
+  _, vjp = jax.vjp(
+      lambda x, w: attn_pool_wlogits_reference(x, w, mask_tail), *res)
+  return vjp(ct)
+
+
+_wl_core.defvjp(_wl_fwd, _wl_bwd)
+
+
+def attn_pool_wlogits(x: Array, w: Array, mask_tail: bool,
+                      use_pallas: bool | None = None) -> Array:
+  """Dispatcher; x already even-L zero-padded."""
+  n, l, c = x.shape
+  if use_pallas is None:
+    use_pallas = use_pallas_attn_pool()
+  ok = (l % 2 == 0 and c % 128 == 0 and _pick_tile_n_wl(n, l, c) > 0)
+  if use_pallas and ok:
+    return _wl_core(x, w, mask_tail, False)
+  return attn_pool_wlogits_reference(x, w, mask_tail)
+
+
+def pool_prologue_im2col_wlogits_reference(
+    x: Array, w: Array, scale: Array, shift: Array, k_taps: int,
+    act: str | None, mask_tail: bool) -> Array:
+  pooled = attn_pool_wlogits_reference(x, w, mask_tail)
+  xg = _act(act, pooled.astype(jnp.float32) * scale + shift
+            ).astype(x.dtype)
+  n, lh, c = xg.shape
+  slabs = []
+  for off in _live_offsets(k_taps, lh):
+    if off >= 0:
+      seg = jnp.pad(xg[:, off:, :], ((0, 0), (0, off), (0, 0)))
+    else:
+      seg = jnp.pad(xg[:, :lh + off, :], ((0, 0), (-off, 0), (0, 0)))
+    slabs.append(seg)
+  return jnp.concatenate(slabs, axis=-1)
+
+
+def _wl_mega_kernel(x_ref, w_ref, s_ref, t_ref, o_ref, *, offsets, act,
+                    mask_tail):
+  x = x_ref[:]
+  tn, l, c = x.shape
+  lh = l // 2
+  pooled = _pool_wlogits_blend(x, w_ref, mask_tail=mask_tail)
+  xg = _act(act, pooled * s_ref[0][None, None, :]
+            + t_ref[0][None, None, :]).astype(x.dtype)
+  for j, off in enumerate(offsets):
+    if off >= 0:
+      seg = jnp.pad(xg[:, off:, :], ((0, 0), (0, off), (0, 0)))
+    else:
+      seg = jnp.pad(xg[:, :lh + off, :], ((0, 0), (-off, 0), (0, 0)))
+    o_ref[:, :, j * c:(j + 1) * c] = seg
+
+
+def _pick_tile_n_wl_mega(n: int, l: int, c: int, k_live: int,
+                         budget: int = 56 * 2 ** 20) -> int:
+  best = 0
+  for cand in (1, 2, 4, 8, 16, 32, 64, 128):
+    if n % cand:
+      continue
+    rows = cand * l * c
+    est = (2 * rows * 2          # x bf16 double-buffered
+           + 4 * rows * 4        # f32 blend temps
+           + c * c * 2           # resident W
+           + rows // 2 * 2       # activated pooled
+           + 2 * rows // 2 * k_live * 2)   # cols out double-buffered
+    if est <= budget:
+      best = cand
+  return best
+
+
+@functools.partial(jax.jit, static_argnames=('k_taps', 'act',
+                                             'mask_tail', 'interpret'))
+def pool_prologue_im2col_wlogits_pallas(
+    x: Array, w: Array, scale: Array, shift: Array, k_taps: int,
+    act: str | None, mask_tail: bool, interpret: bool = False) -> Array:
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n, l, c = x.shape
+  lh = l // 2
+  offsets = tuple(_live_offsets(k_taps, lh))
+  k_live = len(offsets)
+  tile_n = _pick_tile_n_wl_mega(n, l, c, k_live)
+  body = functools.partial(_wl_mega_kernel, offsets=offsets, act=act,
+                           mask_tail=mask_tail)
+  return pl.pallas_call(
+      body,
+      grid=(n // tile_n,),
+      in_specs=[
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((c, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((tile_n, lh, k_live * c),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((n, lh, k_live * c), x.dtype),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      cost_estimate=pl.CostEstimate(
+          flops=n * l * c * c + 12 * n * l * c,
+          bytes_accessed=x.size * 2 + n * lh * k_live * c * 2,
+          transcendentals=n * l * c),
+      interpret=interpret,
+  )(x, w.astype(x.dtype), scale.reshape(1, c).astype(jnp.float32),
+    shift.reshape(1, c).astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _wl_mega_core(x, w, scale, shift, k_taps, act, mask_tail,
+                  interpret):
+  return pool_prologue_im2col_wlogits_pallas(
+      x, w, scale, shift, k_taps, act, mask_tail, interpret=interpret)
+
+
+def _wl_mega_fwd(x, w, scale, shift, k_taps, act, mask_tail,
+                 interpret):
+  out = pool_prologue_im2col_wlogits_pallas(
+      x, w, scale, shift, k_taps, act, mask_tail, interpret=interpret)
+  return out, (x, w, scale, shift)
+
+
+def _wl_mega_bwd(k_taps, act, mask_tail, interpret, res, ct):
+  _, vjp = jax.vjp(
+      lambda x, w, s, t: pool_prologue_im2col_wlogits_reference(
+          x, w, s, t, k_taps, act, mask_tail), *res)
+  return vjp(ct)
+
+
+_wl_mega_core.defvjp(_wl_mega_fwd, _wl_mega_bwd)
+
+
+def pool_prologue_im2col_wlogits(x: Array, w: Array, scale: Array,
+                                 shift: Array, k_taps: int,
+                                 act: str | None, mask_tail: bool,
+                                 use_pallas: bool | None = None
+                                 ) -> Array:
+  """Dispatcher for the w-logits mega kernel; even-L inputs required."""
+  n, l, c = x.shape
+  if use_pallas is None:
+    use_pallas = use_pallas_attn_pool()
+  k_live = len(_live_offsets(k_taps, l // 2))
+  ok = (l % 2 == 0 and c % 128 == 0
+        and _pick_tile_n_wl_mega(n, l, c, k_live) > 0)
+  if use_pallas and ok:
+    return _wl_mega_core(x, w, scale, shift, k_taps, act, mask_tail,
+                         False)
+  return pool_prologue_im2col_wlogits_reference(x, w, scale, shift,
+                                                k_taps, act, mask_tail)
+
+
+def wlogits_pool_ok(l_padded: int, c: int) -> bool:
+  """Shape gate the MODULE uses to decide whether to skip the XLA
+  logits matmul and hand the kernel the weight instead (the kernels
+  fall back to the jnp reference when use_pallas is off, so this only
+  checks the shape contract, not the backend)."""
+  return l_padded % 2 == 0 and c % 128 == 0

@@ -358,3 +358,71 @@ def test_attn_l2_kernel_interpret_matches_reference():
                              atol=1e-4)
   np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
                              atol=1e-5)
+
+
+def test_attn_pool_wlogits_matches_reference_interpret():
+  """W-logits pool kernel (in-kernel difference-logits dot) ==
+  reference logits-matmul + grouped softmax, incl. the masked tail
+  pair that replaces the -inf logits pad."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_pool_pallas as ap
+
+  key = jax.random.key(0)
+  for n, l, c, mask_tail in [(8, 16, 128, False), (8, 16, 128, True),
+                             (16, 4, 256, True)]:
+    x = jax.random.normal(key, (n, l, c), jnp.float32)
+    if mask_tail:   # caller zero-pads the tail slot
+      x = x.at[:, -1, :].set(0.0)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (c, c)) * 0.2
+    want = ap.attn_pool_wlogits_reference(x, w, mask_tail)
+    got = ap.attn_pool_wlogits_pallas(x, w, mask_tail, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    if mask_tail:   # tail pair must select its real member exactly
+      np.testing.assert_allclose(np.asarray(got[:, -1]),
+                                 np.asarray(x[:, -2]), atol=2e-5)
+
+
+def test_wlogits_mega_kernel_matches_reference_and_grad():
+  """pool blend (w-logits) + BN affine + act + im2col emission in one
+  kernel == the staged reference; custom-VJP backward == reference
+  gradients (DPS/classifier guidance differentiate through this)."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_pool_pallas as ap
+
+  key = jax.random.key(0)
+  n, l, c, k = 8, 16, 128, 5
+  for mask_tail in (False, True):
+    x = jax.random.normal(key, (n, l, c), jnp.float32)
+    if mask_tail:
+      x = x.at[:, -1, :].set(0.0)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (c, c)) * 0.2
+    scale = jax.random.normal(jax.random.fold_in(key, 2), (c,)) + 1.0
+    shift = jax.random.normal(jax.random.fold_in(key, 3), (c,))
+    want = ap.pool_prologue_im2col_wlogits_reference(
+        x, w, scale, shift, k, 'gelu_enformer', mask_tail)
+    got = ap.pool_prologue_im2col_wlogits_pallas(
+        x, w, scale, shift, k, 'gelu_enformer', mask_tail,
+        interpret=True)
+    assert got.shape == want.shape == (n, l // 2, 5 * c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+  # grad parity through the dispatcher's custom VJP (reference bwd)
+  def f_disp(x, w, s, t):
+    return (ap._wl_mega_core(x, w, s, t, k, 'gelu_enformer', False,
+                             True) ** 2).sum()
+
+  def f_ref(x, w, s, t):
+    return (ap.pool_prologue_im2col_wlogits_reference(
+        x, w, s, t, k, 'gelu_enformer', False) ** 2).sum()
+
+  gd = jax.grad(f_disp, argnums=(0, 1, 2, 3))(x, w, scale, shift)
+  gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, w, scale, shift)
+  for a, b in zip(gd, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-4)
