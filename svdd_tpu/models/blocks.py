@@ -85,7 +85,8 @@ class AttentionPool(nn.Module):
   pool_size: int = 2
 
   @nn.compact
-  def __call__(self, x: Array, defer: bool = False):   # (B, L, C)
+  def __call__(self, x: Array, defer: bool = False,
+               residual: Array | None = None):   # (B, L, C)
     b, n, c = x.shape
     p = self.pool_size
     remainder = n % p
@@ -102,17 +103,24 @@ class AttentionPool(nn.Module):
         # the kernel's DMA; kills the relayout copy + -inf pad the
         # materialized logits needed). Odd L: zero-pad x, the kernel
         # forces the tail pair's blend weight to 1 (same selection the
-        # -inf logits pad produced, Enformer.py:2447-2452).
+        # -inf logits pad produced, Enformer.py:2447-2452). The
+        # ConvBlock's trailing residual add rides in-kernel too (the
+        # summed array never hits HBM).
         if pad:
           x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+          if residual is not None:
+            residual = jnp.pad(residual, ((0, 0), (0, pad), (0, 0)))
         w_cast = logits_w.astype(x.dtype)
         if defer:
           # deferred-pool handoff: the consumer (the next k=5 NACDR
           # ConvBlock) runs the fused pool+prologue+im2col mega kernel
           # (ops/attn_pool_pallas.pool_prologue_im2col_wlogits) so the
           # pooled array never hits HBM
-          return x, w_cast, bool(pad)
-        return app.attn_pool_wlogits(x, w_cast, bool(pad))
+          return x, w_cast, bool(pad), residual
+        return app.attn_pool_wlogits(x, w_cast, bool(pad),
+                                     residual=residual)
+    if residual is not None:     # legacy paths apply the add up front
+      x = x + residual
     # matmul on the FLAT (B, L, C) layout, then group — grouping first
     # forced an awkward (B, L/2, 2, C) operand layout on TPU
     logits = jnp.dot(x, logits_w.astype(x.dtype),
@@ -149,17 +157,21 @@ class Pool(nn.Module):
   in_channels: Optional[int] = None
 
   @nn.compact
-  def __call__(self, x: Array, defer: bool = False):
+  def __call__(self, x: Array, defer: bool = False,
+               residual: Array | None = None):
     if self.func is None:
+      assert residual is None
       return x
     p = self.pool_size
     if self.func == 'avg':
+      assert residual is None
       return nn.avg_pool(x, (p,), strides=(p,))
     if self.func == 'max':
+      assert residual is None
       return nn.max_pool(x, (p,), strides=(p,))
     if self.func == 'attn':
       return AttentionPool(dim=self.in_channels, pool_size=p)(
-          x, defer=defer)
+          x, defer=defer, residual=residual)
     raise NotImplementedError(self.func)
 
 
@@ -236,13 +248,13 @@ class ConvBlock(nn.Module):
         # pool blend + THIS block's BN affine + act + im2col in one
         # VMEM pass; the conv collapses to a single stacked matmul
         from svdd_tpu.ops import attn_pool_pallas as app
-        if len(x) == 3:
-          # w-logits handoff: (x, W, mask_tail) — the kernel computes
-          # the difference-logits dot itself
-          r, w_logits, mask_tail = x
+        if len(x) == 4:
+          # w-logits handoff: (x, W, mask_tail, residual) — the kernel
+          # computes the residual add AND the difference-logits dot
+          r, w_logits, mask_tail, res = x
           cols = app.pool_prologue_im2col_wlogits(
               r, w_logits, scale, shift, self.kernel_size,
-              self.act_func, mask_tail)
+              self.act_func, mask_tail, residual=res)
         else:
           r, logits = x
           cols = app.pool_prologue_im2col(r, logits, scale, shift,
@@ -251,6 +263,10 @@ class ConvBlock(nn.Module):
         y = conv(None, precols=cols)
       else:
         y = conv(x, prologue=(scale, shift, self.act_func))
+      if self.residual and self._defer_residual():
+        return Pool(self.pool_func, self.pool_size,
+                    in_channels=self.out_channels)(
+                        y, defer=defer_pool, residual=x_input)
       if self.residual:
         y = y + x_input                      # D is inert at eval
       return Pool(self.pool_func, self.pool_size,
@@ -258,6 +274,7 @@ class ConvBlock(nn.Module):
 
     assert not deferred, ('deferred pool input requires the NACDR '
                           'eval fast path')
+    pending_res = None
     for name in self.order:
       if name == 'C':
         x = conv(x)
@@ -267,11 +284,25 @@ class ConvBlock(nn.Module):
         x = norm(x, train=train)
       elif name == 'R':
         if self.residual:
-          x = x + x_input
+          if self._defer_residual():
+            # the attention pool absorbs the add (in-kernel on the
+            # Pallas path; applied up front on the reference path) —
+            # the summed array never materializes. Only valid when R
+            # is the LAST pre-pool op, else deferral would reorder it.
+            pending_res = x_input
+          else:
+            x = x + x_input
       elif name == 'A':
         x = activation(self.act_func, x)
     return Pool(self.pool_func, self.pool_size,
-                in_channels=self.out_channels)(x, defer=defer_pool)
+                in_channels=self.out_channels)(
+                    x, defer=defer_pool, residual=pending_res)
+
+  def _defer_residual(self) -> bool:
+    """The trailing residual add can ride inside the attention-pool
+    kernel only when it is the last op before the pool."""
+    return (self.pool_func == 'attn' and self.pool_size == 2
+            and self.order.endswith('R'))
 
 
 class ChannelTransformBlock(nn.Module):

@@ -309,10 +309,15 @@ def attn_pool_fused(x: Array, logits: Array,
 # pad achieved; blocks.py:102-105, Enformer.py:2447-2452).
 
 
-def attn_pool_wlogits_reference(x: Array, w: Array,
-                                mask_tail: bool) -> Array:
+def attn_pool_wlogits_reference(x: Array, w: Array, mask_tail: bool,
+                                residual: Array | None = None) -> Array:
   """Reference: logits = x @ w then grouped softmax; x even-L padded,
-  mask_tail=True when the last pair's second slot is padding."""
+  mask_tail=True when the last pair's second slot is padding.
+  ``residual`` is added to x BEFORE the logits (the pool block's
+  R step, Enformer.py:2283-2288, absorbed into the kernel so the
+  summed array never materializes in HBM)."""
+  if residual is not None:
+    x = x + residual
   logits = jnp.dot(x, w.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
   if mask_tail:
@@ -341,23 +346,32 @@ def _pool_wlogits_blend(x, w_ref, *, mask_tail):
   return x1 + d * wgt
 
 
-def _wl_kernel(x_ref, w_ref, o_ref, *, mask_tail):
+def _wl_kernel(x_ref, *rest, mask_tail, has_res):
+  if has_res:
+    res_ref, w_ref, o_ref = rest
+  else:
+    w_ref, o_ref = rest
   x = x_ref[:]
+  if has_res:
+    x = x + res_ref[:]
   o_ref[:] = _pool_wlogits_blend(x, w_ref,
                                  mask_tail=mask_tail).astype(x.dtype)
 
 
-def _pick_tile_n_wl(n: int, l: int, c: int,
-                    budget: int = 56 * 2 ** 20) -> int:
+def _pick_tile_n_wl(n: int, l: int, c: int, has_res: bool = False,
+                    budget: int = 60 * 2 ** 20) -> int:
+  # f32 blend temps live on HALF rows (post-pool); tile=16 on the stem
+  # shape measured ~1.9 ms faster than the earlier full-rows estimate's
+  # tile=8, tile=32 regressed (probe_wl_variants, r2)
   best = 0
-  for cand in (1, 2, 4, 8, 16, 32, 64, 128):
+  for cand in (1, 2, 4, 8, 16, 32, 64, 128, 256):
     if n % cand:
       continue
     rows = cand * l * c
-    est = (2 * rows * 2          # x bf16 double-buffered
-           + 4 * rows * 4        # f32 blend temps (x0/x1/d/ld)
-           + c * c * 2           # resident W
-           + 2 * rows // 2 * 2)  # out double-buffered
+    est = ((4 if has_res else 2) * rows * 2   # x (+res) double-buffered
+           + 4 * (rows // 2) * 4     # f32 blend temps (x0/x1/d/ld)
+           + c * c * 2               # resident W
+           + 2 * (rows // 2) * 2)    # out double-buffered
     if est <= budget:
       best = cand
   return best
@@ -365,24 +379,29 @@ def _pick_tile_n_wl(n: int, l: int, c: int,
 
 @functools.partial(jax.jit, static_argnames=('mask_tail', 'interpret'))
 def attn_pool_wlogits_pallas(x: Array, w: Array, mask_tail: bool,
+                             residual: Array | None = None,
                              interpret: bool = False) -> Array:
   """Pairwise attention pool with the in-kernel difference-logits dot;
-  x (N, L, C) zero-padded to even L, w (C, C)."""
+  x (N, L, C) zero-padded to even L, w (C, C). ``residual`` (same
+  shape/pad as x) is added in-VMEM before the pool."""
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
   n, l, c = x.shape
-  tile_n = _pick_tile_n_wl(n, l, c)
-  body = functools.partial(_wl_kernel, mask_tail=mask_tail)
+  has_res = residual is not None
+  tile_n = _pick_tile_n_wl(n, l, c, has_res=has_res)
+  body = functools.partial(_wl_kernel, mask_tail=mask_tail,
+                           has_res=has_res)
+  xspec = pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+  in_specs = [xspec] + ([xspec] if has_res else []) + [
+      pl.BlockSpec((c, c), lambda i: (0, 0),
+                   memory_space=pltpu.VMEM)]
+  args = (x,) + ((residual,) if has_res else ()) + (w.astype(x.dtype),)
   return pl.pallas_call(
       body,
       grid=(n // tile_n,),
-      in_specs=[
-          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((c, c), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
-      ],
+      in_specs=in_specs,
       out_specs=pl.BlockSpec((tile_n, l // 2, c), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((n, l // 2, c), x.dtype),
@@ -390,10 +409,10 @@ def attn_pool_wlogits_pallas(x: Array, w: Array, mask_tail: bool,
           vmem_limit_bytes=110 * 1024 * 1024),
       cost_estimate=pl.CostEstimate(
           flops=n * l * c * c + 8 * n * l * c,
-          bytes_accessed=x.size * 2 + x.size,
+          bytes_accessed=x.size * 2 * (2 if has_res else 1) + x.size,
           transcendentals=n * l // 2 * c),
       interpret=interpret,
-  )(x, w.astype(x.dtype))
+  )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -415,22 +434,50 @@ def _wl_bwd(mask_tail, interpret, res, ct):
 _wl_core.defvjp(_wl_fwd, _wl_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _wl_res_core(x, res, w, mask_tail, interpret):
+  return attn_pool_wlogits_pallas(x, w, mask_tail, residual=res,
+                                  interpret=interpret)
+
+
+def _wl_res_fwd(x, res, w, mask_tail, interpret):
+  out = attn_pool_wlogits_pallas(x, w, mask_tail, residual=res,
+                                 interpret=interpret)
+  return out, (x, res, w)
+
+
+def _wl_res_bwd(mask_tail, interpret, saved, ct):
+  _, vjp = jax.vjp(
+      lambda x, r, w: attn_pool_wlogits_reference(x, w, mask_tail, r),
+      *saved)
+  return vjp(ct)
+
+
+_wl_res_core.defvjp(_wl_res_fwd, _wl_res_bwd)
+
+
 def attn_pool_wlogits(x: Array, w: Array, mask_tail: bool,
+                      residual: Array | None = None,
                       use_pallas: bool | None = None) -> Array:
-  """Dispatcher; x already even-L zero-padded."""
+  """Dispatcher; x (and residual) already even-L zero-padded."""
   n, l, c = x.shape
   if use_pallas is None:
     use_pallas = use_pallas_attn_pool()
-  ok = (l % 2 == 0 and c % 128 == 0 and _pick_tile_n_wl(n, l, c) > 0)
+  has_res = residual is not None
+  ok = (l % 2 == 0 and c % 128 == 0
+        and _pick_tile_n_wl(n, l, c, has_res=has_res) > 0)
   if use_pallas and ok:
+    if has_res:
+      return _wl_res_core(x, residual, w, mask_tail, False)
     return _wl_core(x, w, mask_tail, False)
-  return attn_pool_wlogits_reference(x, w, mask_tail)
+  return attn_pool_wlogits_reference(x, w, mask_tail, residual)
 
 
 def pool_prologue_im2col_wlogits_reference(
     x: Array, w: Array, scale: Array, shift: Array, k_taps: int,
-    act: str | None, mask_tail: bool) -> Array:
-  pooled = attn_pool_wlogits_reference(x, w, mask_tail)
+    act: str | None, mask_tail: bool,
+    residual: Array | None = None) -> Array:
+  pooled = attn_pool_wlogits_reference(x, w, mask_tail, residual)
   xg = _act(act, pooled.astype(jnp.float32) * scale + shift
             ).astype(x.dtype)
   n, lh, c = xg.shape
@@ -444,9 +491,15 @@ def pool_prologue_im2col_wlogits_reference(
   return jnp.concatenate(slabs, axis=-1)
 
 
-def _wl_mega_kernel(x_ref, w_ref, s_ref, t_ref, o_ref, *, offsets, act,
-                    mask_tail):
+def _wl_mega_kernel(x_ref, *rest, offsets, act, mask_tail,
+                    has_res=False):
+  if has_res:
+    res_ref, w_ref, s_ref, t_ref, o_ref = rest
+  else:
+    w_ref, s_ref, t_ref, o_ref = rest
   x = x_ref[:]
+  if has_res:
+    x = x + res_ref[:]
   tn, l, c = x.shape
   lh = l // 2
   pooled = _pool_wlogits_blend(x, w_ref, mask_tail=mask_tail)
@@ -460,18 +513,32 @@ def _wl_mega_kernel(x_ref, w_ref, s_ref, t_ref, o_ref, *, offsets, act,
     o_ref[:, :, j * c:(j + 1) * c] = seg
 
 
+_MEASURED_TILES = {
+    # (l, c) -> tile; probe_wl_tile_sweep r2: the budget heuristic's
+    # pick loses only on the (100, 768) block (tile 32 is 0.24 ms
+    # slower than 8 there)
+    (100, 768): 8,
+}
+
+
 def _pick_tile_n_wl_mega(n: int, l: int, c: int, k_live: int,
-                         budget: int = 56 * 2 ** 20) -> int:
+                         has_res: bool = False,
+                         budget: int = 60 * 2 ** 20) -> int:
+  # see _pick_tile_n_wl: temps on half rows; stem lands on tile=16
+  # (measured best), larger tiles exceed the budget and measured worse
+  pinned = _MEASURED_TILES.get((l, c))
+  if pinned and n % pinned == 0:
+    return pinned
   best = 0
   for cand in (1, 2, 4, 8, 16, 32, 64, 128):
     if n % cand:
       continue
     rows = cand * l * c
-    est = (2 * rows * 2          # x bf16 double-buffered
-           + 4 * rows * 4        # f32 blend temps
-           + c * c * 2           # resident W
-           + rows // 2 * 2       # activated pooled
-           + 2 * rows // 2 * k_live * 2)   # cols out double-buffered
+    est = ((4 if has_res else 2) * rows * 2   # x (+res) double-buffered
+           + 4 * (rows // 2) * 4     # f32 blend temps
+           + c * c * 2               # resident W
+           + rows // 2 * 2           # activated pooled
+           + 2 * (rows // 2) * k_live * 2)  # cols out double-buffered
     if est <= budget:
       best = cand
   return best
@@ -481,7 +548,8 @@ def _pick_tile_n_wl_mega(n: int, l: int, c: int, k_live: int,
                                              'mask_tail', 'interpret'))
 def pool_prologue_im2col_wlogits_pallas(
     x: Array, w: Array, scale: Array, shift: Array, k_taps: int,
-    act: str | None, mask_tail: bool, interpret: bool = False) -> Array:
+    act: str | None, mask_tail: bool, residual: Array | None = None,
+    interpret: bool = False) -> Array:
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
@@ -489,22 +557,25 @@ def pool_prologue_im2col_wlogits_pallas(
   lh = l // 2
   offsets = tuple(_live_offsets(k_taps, lh))
   k_live = len(offsets)
-  tile_n = _pick_tile_n_wl_mega(n, l, c, k_live)
+  has_res = residual is not None
+  tile_n = _pick_tile_n_wl_mega(n, l, c, k_live, has_res=has_res)
   body = functools.partial(_wl_mega_kernel, offsets=offsets, act=act,
-                           mask_tail=mask_tail)
+                           mask_tail=mask_tail, has_res=has_res)
+  xspec = pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+  row = lambda cc: pl.BlockSpec((1, cc), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+  in_specs = [xspec] + ([xspec] if has_res else []) + [
+      pl.BlockSpec((c, c), lambda i: (0, 0),
+                   memory_space=pltpu.VMEM), row(c), row(c)]
+  args = ((x,) + ((residual,) if has_res else ())
+          + (w.astype(x.dtype),
+             scale.reshape(1, c).astype(jnp.float32),
+             shift.reshape(1, c).astype(jnp.float32)))
   return pl.pallas_call(
       body,
       grid=(n // tile_n,),
-      in_specs=[
-          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((c, c), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, c), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, c), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM),
-      ],
+      in_specs=in_specs,
       out_specs=pl.BlockSpec((tile_n, lh, k_live * c),
                              lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -513,11 +584,11 @@ def pool_prologue_im2col_wlogits_pallas(
           vmem_limit_bytes=110 * 1024 * 1024),
       cost_estimate=pl.CostEstimate(
           flops=n * l * c * c + 12 * n * l * c,
-          bytes_accessed=x.size * 2 + n * lh * k_live * c * 2,
+          bytes_accessed=(x.size * 2 * (2 if has_res else 1)
+                          + n * lh * k_live * c * 2),
           transcendentals=n * l * c),
       interpret=interpret,
-  )(x, w.astype(x.dtype), scale.reshape(1, c).astype(jnp.float32),
-    shift.reshape(1, c).astype(jnp.float32))
+  )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -544,9 +615,36 @@ def _wl_mega_bwd(k_taps, act, mask_tail, interpret, res, ct):
 _wl_mega_core.defvjp(_wl_mega_fwd, _wl_mega_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _wl_mega_res_core(x, res, w, scale, shift, k_taps, act, mask_tail,
+                      interpret):
+  return pool_prologue_im2col_wlogits_pallas(
+      x, w, scale, shift, k_taps, act, mask_tail, residual=res,
+      interpret=interpret)
+
+
+def _wl_mega_res_fwd(x, res, w, scale, shift, k_taps, act, mask_tail,
+                     interpret):
+  out = pool_prologue_im2col_wlogits_pallas(
+      x, w, scale, shift, k_taps, act, mask_tail, residual=res,
+      interpret=interpret)
+  return out, (x, res, w, scale, shift)
+
+
+def _wl_mega_res_bwd(k_taps, act, mask_tail, interpret, saved, ct):
+  _, vjp = jax.vjp(
+      lambda x, r, w, s, t: pool_prologue_im2col_wlogits_reference(
+          x, w, s, t, k_taps, act, mask_tail, r), *saved)
+  return vjp(ct)
+
+
+_wl_mega_res_core.defvjp(_wl_mega_res_fwd, _wl_mega_res_bwd)
+
+
 def pool_prologue_im2col_wlogits(x: Array, w: Array, scale: Array,
                                  shift: Array, k_taps: int,
                                  act: str | None, mask_tail: bool,
+                                 residual: Array | None = None,
                                  use_pallas: bool | None = None
                                  ) -> Array:
   """Dispatcher for the w-logits mega kernel; even-L inputs required."""
@@ -554,13 +652,18 @@ def pool_prologue_im2col_wlogits(x: Array, w: Array, scale: Array,
   if use_pallas is None:
     use_pallas = use_pallas_attn_pool()
   k_live = len(_live_offsets(k_taps, l // 2))
+  has_res = residual is not None
   ok = (l % 2 == 0 and c % 128 == 0
-        and _pick_tile_n_wl_mega(n, l, c, k_live) > 0)
+        and _pick_tile_n_wl_mega(n, l, c, k_live, has_res=has_res) > 0)
   if use_pallas and ok:
+    if has_res:
+      return _wl_mega_res_core(x, residual, w, scale, shift, k_taps,
+                               act, mask_tail, False)
     return _wl_mega_core(x, w, scale, shift, k_taps, act, mask_tail,
                          False)
   return pool_prologue_im2col_wlogits_reference(x, w, scale, shift,
-                                                k_taps, act, mask_tail)
+                                                k_taps, act, mask_tail,
+                                                residual)
 
 
 def wlogits_pool_ok(l_padded: int, c: int) -> bool:

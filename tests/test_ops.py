@@ -426,3 +426,55 @@ def test_wlogits_mega_kernel_matches_reference_and_grad():
   for a, b in zip(gd, gr):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_wlogits_residual_absorption():
+  """The pool-block residual add rides inside the w-logits kernels:
+  kernel == reference(x+res), and the ConvBlock-level deferral is
+  numerically identical to adding before the pool."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_pool_pallas as ap
+
+  key = jax.random.key(0)
+  n, l, c, k = 8, 16, 128, 5
+  x = jax.random.normal(key, (n, l, c), jnp.float32)
+  res = jax.random.normal(jax.random.fold_in(key, 9), (n, l, c))
+  w = jax.random.normal(jax.random.fold_in(key, 1), (c, c)) * 0.2
+  scale = jax.random.normal(jax.random.fold_in(key, 2), (c,)) + 1.0
+  shift = jax.random.normal(jax.random.fold_in(key, 3), (c,))
+
+  # standalone pool kernel
+  want = ap.attn_pool_wlogits_reference(x + res, w, False)
+  got = ap.attn_pool_wlogits_pallas(x, w, False, residual=res,
+                                    interpret=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2e-5, rtol=2e-5)
+
+  # mega kernel
+  want = ap.pool_prologue_im2col_wlogits_reference(
+      x + res, w, scale, shift, k, 'gelu_enformer', False)
+  got = ap.pool_prologue_im2col_wlogits_pallas(
+      x, w, scale, shift, k, 'gelu_enformer', False, residual=res,
+      interpret=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2e-5, rtol=2e-5)
+
+  # grads through the residual-carrying custom VJP
+  def f_disp(x, res, w):
+    return (ap._wl_mega_res_core(x, res, w, scale, shift, k,
+                                 'gelu_enformer', False, True)
+            ** 2).sum()
+
+  def f_ref(x, res, w):
+    return (ap.pool_prologue_im2col_wlogits_reference(
+        x + res, w, scale, shift, k, 'gelu_enformer', False) ** 2).sum()
+
+  # forward math differs by diff-then-dot vs dot-then-diff rounding
+  # (f32): a handful of elements land at ~5e-3 relative
+  gd = jax.grad(f_disp, argnums=(0, 1, 2))(x, res, w)
+  gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, res, w)
+  for a, b in zip(gd, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-3, rtol=1e-2)
