@@ -14,7 +14,7 @@ mutable during training (SURVEY.md §7.3 hard-parts list).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -23,6 +23,41 @@ import jax.numpy as jnp
 from svdd_tpu.ops.conv1d import Conv1D
 
 Array = jnp.ndarray
+
+
+class PendingBias(NamedTuple):
+  """A conv output whose channel bias has NOT been added yet.
+
+  Used by the NACDR eval pipeline so raw matmul outputs can feed
+  Pallas custom calls directly: XLA can't fuse a bias add into a
+  custom-call operand read, so a biased copy would otherwise
+  materialize (measured ~14 ms/step, trace r2-b512). Constant channel
+  biases cancel inside the pairwise attention-pool blend
+  (logits difference (x0-x1)@W and d = x1-x0 are bias-invariant) and
+  pass through it additively, so the pending bias folds into the next
+  block's norm-affine shift, or is re-applied on fallback paths.
+
+  ``lnc=True`` marks the L-major pipeline: x is (L, N, C) — the
+  logical layout whose default physical layout matches what XLA's dot
+  emits, so kernel boundaries need no relayout copies (see
+  ops/attn_pool_pallas.py LNC section). ``tail_pad`` marks that the
+  last L-slab is a zero/junk pad row emitted by the producer
+  (pad_out) and must be masked by the next pool's tail blend."""
+  x: Array
+  bias: Array           # (C,) f32
+  tail_pad: bool = False
+  lnc: bool = False
+
+
+class PoolHandoff(NamedTuple):
+  """Deferred attention-pool handoff consumed by the next k>1 NACDR
+  ConvBlock's fused pool+prologue+im2col mega kernel."""
+  x: Array                      # pre-pool input (even L)
+  w: Array                      # (C, C) logits weight
+  mask_tail: bool               # tail pair's second slot is pad/junk
+  residual: Optional[Array]     # rides inside the kernel
+  out_bias: Optional[Array]     # deferred producer bias, (C,) f32
+  lnc: bool = False             # x/residual are (L, N, C)
 
 
 def use_fused_nacdr() -> bool:
@@ -86,9 +121,31 @@ class AttentionPool(nn.Module):
 
   @nn.compact
   def __call__(self, x: Array, defer: bool = False,
-               residual: Array | None = None):   # (B, L, C)
+               residual: Array | None = None,
+               out_bias: Array | None = None,
+               lnc: bool = False,
+               tail_pad: bool = False):   # (B, L, C) / lnc: (L, B, C)
     b, n, c = x.shape
     p = self.pool_size
+    if lnc:
+      # L-major pipeline: x (L, N, C) with L ALREADY even (producers
+      # emit a pad slab, pad_out); the tail-pair mask comes from the
+      # caller instead of the shape. Kernel dispatchers fall back to
+      # transposed jnp references off-TPU / on unsupported shapes.
+      assert p == 2 and x.shape[0] % 2 == 0
+      from svdd_tpu.ops import attn_pool_pallas as app
+      w_cast = self.param(
+          'to_attn_logits',
+          lambda key, shape: 2.0 * jnp.eye(shape[0], dtype=jnp.float32),
+          (c, c)).astype(x.dtype)
+      if defer:
+        return PoolHandoff(x, w_cast, tail_pad, residual, out_bias,
+                           lnc=True)
+      out = app.attn_pool_wlogits_lnc(x, w_cast, tail_pad,
+                                      residual=residual)
+      if out_bias is not None:
+        out = out + out_bias.astype(out.dtype)
+      return out                      # (L/2, N, C), still L-major
     remainder = n % p
     pad = (p - remainder) % p
     logits_w = self.param(
@@ -105,7 +162,10 @@ class AttentionPool(nn.Module):
         # forces the tail pair's blend weight to 1 (same selection the
         # -inf logits pad produced, Enformer.py:2447-2452). The
         # ConvBlock's trailing residual add rides in-kernel too (the
-        # summed array never hits HBM).
+        # summed array never hits HBM). ``out_bias`` is the deferred
+        # producer bias, additive on the pool output: bias-invariant
+        # inside the blend, so it folds into the consumer's affine
+        # shift (deferred handoff) or one fused XLA add (last pool).
         if pad:
           x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
           if residual is not None:
@@ -116,11 +176,17 @@ class AttentionPool(nn.Module):
           # ConvBlock) runs the fused pool+prologue+im2col mega kernel
           # (ops/attn_pool_pallas.pool_prologue_im2col_wlogits) so the
           # pooled array never hits HBM
-          return x, w_cast, bool(pad), residual
-        return app.attn_pool_wlogits(x, w_cast, bool(pad),
-                                     residual=residual)
+          return PoolHandoff(x, w_cast, bool(pad), residual, out_bias)
+        out = app.attn_pool_wlogits(x, w_cast, bool(pad),
+                                    residual=residual)
+        if out_bias is not None:
+          # fuses into the consumer's read of the kernel output
+          out = out + out_bias.astype(out.dtype)
+        return out
     if residual is not None:     # legacy paths apply the add up front
       x = x + residual
+    if out_bias is not None:
+      x = x + out_bias.astype(x.dtype)
     # matmul on the FLAT (B, L, C) layout, then group — grouping first
     # forced an awkward (B, L/2, 2, C) operand layout on TPU
     logits = jnp.dot(x, logits_w.astype(x.dtype),
@@ -158,20 +224,24 @@ class Pool(nn.Module):
 
   @nn.compact
   def __call__(self, x: Array, defer: bool = False,
-               residual: Array | None = None):
+               residual: Array | None = None,
+               out_bias: Array | None = None,
+               lnc: bool = False,
+               tail_pad: bool = False):
     if self.func is None:
-      assert residual is None
+      assert residual is None and out_bias is None
       return x
     p = self.pool_size
     if self.func == 'avg':
-      assert residual is None
+      assert residual is None and out_bias is None
       return nn.avg_pool(x, (p,), strides=(p,))
     if self.func == 'max':
-      assert residual is None
+      assert residual is None and out_bias is None
       return nn.max_pool(x, (p,), strides=(p,))
     if self.func == 'attn':
       return AttentionPool(dim=self.in_channels, pool_size=p)(
-          x, defer=defer, residual=residual)
+          x, defer=defer, residual=residual, out_bias=out_bias,
+          lnc=lnc, tail_pad=tail_pad)
     raise NotImplementedError(self.func)
 
 
@@ -222,11 +292,12 @@ class ConvBlock(nn.Module):
   def __call__(self, x, train: bool = False,
                defer_pool: bool = False):
     assert sorted(self.order) == list('ACDNR'), self.order
-    deferred = isinstance(x, tuple)      # (r, logits) from a deferred
-    x_dtype = x[0].dtype if deferred else x.dtype     # attention pool
-    if self.residual:
-      assert not deferred, 'deferred pool input + residual unsupported'
-      x_input = ChannelTransform(self.in_channels, self.out_channels)(x)
+    pending = isinstance(x, PendingBias)   # raw conv out + channel bias
+    deferred = isinstance(x, tuple) and not pending   # attn-pool handoff
+    x_dtype = (x.x.dtype if pending
+               else x[0].dtype if deferred else x.dtype)
+    lnc = (x.lnc if isinstance(x, (PendingBias, PoolHandoff))
+           else False)
     norm = Norm('batch' if self.norm else None)
     conv = Conv1D(self.out_channels, self.kernel_size,
                   dilation=self.dilation, dtype=x_dtype)
@@ -236,33 +307,91 @@ class ConvBlock(nn.Module):
     # fused Pallas conv (ops/fused_conv_pallas.py). Eval BatchNorm is
     # per-channel affine; recover (scale, shift) EXACTLY by probing the
     # norm module with 0/1 inputs (keeps the param tree untouched).
-    if (use_fused_nacdr() and self.order == 'NACDR' and self.norm
-        and not train and self.kernel_size > 1 and self.dilation == 1):
-      c_in = x[0].shape[-1] if deferred else x.shape[-1]
+    fast = (use_fused_nacdr() and self.order == 'NACDR' and self.norm
+            and not train and self.dilation == 1)
+    if fast and (self.kernel_size > 1 or pending):
+      c_in = (x.x.shape[-1] if pending
+              else x[0].shape[-1] if deferred else x.shape[-1])
       probe = jnp.concatenate(
           [jnp.zeros((1, 1, c_in), jnp.float32),
            jnp.ones((1, 1, c_in), jnp.float32)], axis=1)
       bn = norm(probe, train=False)
       shift, scale = bn[0, 0], bn[0, 1] - bn[0, 0]
+      shift = shift.astype(jnp.float32)
+      scale = scale.astype(jnp.float32)
+      if pending:
+        # pool-block branch (k=1): the producer's bias folds into the
+        # norm-affine shift; the 1x1 conv runs on the RAW input so its
+        # matmul output can feed the attention-pool kernel with no
+        # bias-materialization pass. norm(y_raw + b) =
+        # y_raw*scale + (shift + b*scale).
+        assert self.kernel_size == 1
+        y_raw, b_in, tail_pad, _ = x
+        shift = shift + b_in * scale
+        t = activation(self.act_func,
+                       y_raw.astype(jnp.float32) * scale + shift
+                       ).astype(x_dtype)
+        z_raw, b_c = conv(t, defer_bias=True)
+        if self.residual:
+          assert self.in_channels == self.out_channels, (
+              'pending-bias pipeline needs an identity residual')
+          out_bias = b_c + b_in
+          if self.pool_func == 'attn' and self._defer_residual():
+            return Pool(self.pool_func, self.pool_size,
+                        in_channels=self.out_channels)(
+                            z_raw, defer=defer_pool, residual=y_raw,
+                            out_bias=out_bias, lnc=lnc,
+                            tail_pad=tail_pad)
+          z = (z_raw + y_raw
+               + out_bias.astype(x_dtype))    # D is inert at eval
+        else:
+          z = z_raw + b_c.astype(x_dtype)
+        assert not lnc, 'LNC pipeline requires the attn-pool fast path'
+        return Pool(self.pool_func, self.pool_size,
+                    in_channels=self.out_channels)(z, defer=defer_pool)
+      if self.residual:
+        assert not deferred, ('deferred pool input + residual '
+                              'unsupported')
+        x_input = ChannelTransform(self.in_channels,
+                                   self.out_channels)(x)
       if deferred:
         # pool blend + THIS block's BN affine + act + im2col in one
         # VMEM pass; the conv collapses to a single stacked matmul
         from svdd_tpu.ops import attn_pool_pallas as app
-        if len(x) == 4:
-          # w-logits handoff: (x, W, mask_tail, residual) — the kernel
-          # computes the residual add AND the difference-logits dot
-          r, w_logits, mask_tail, res = x
+        assert not self.residual and self.pool_func is None
+        if isinstance(x, PoolHandoff):
+          # w-logits handoff: the kernel computes the residual add AND
+          # the difference-logits dot; the upstream deferred bias folds
+          # into this block's affine shift
+          if x.out_bias is not None:
+            shift = shift + x.out_bias * scale
+          if x.lnc:
+            # L-major: pooled length lh may be odd — emit one extra
+            # zero slab (pad_out) so the downstream pool pairs an even
+            # number of rows; its tail blend masks the pad.
+            lh = x.x.shape[0] // 2
+            pad_out = bool(lh % 2)
+            cols = app.pool_prologue_im2col_wlogits_lnc(
+                x.x, x.w, scale, shift, self.kernel_size,
+                self.act_func, x.mask_tail, residual=x.residual,
+                pad_out=pad_out)
+            y_raw, b = conv(None, precols=cols, precols_len=lh,
+                            defer_bias=True)
+            return PendingBias(y_raw, b, tail_pad=pad_out, lnc=True)
           cols = app.pool_prologue_im2col_wlogits(
-              r, w_logits, scale, shift, self.kernel_size,
-              self.act_func, mask_tail, residual=res)
+              x.x, x.w, scale, shift, self.kernel_size,
+              self.act_func, x.mask_tail, residual=x.residual)
         else:
           r, logits = x
           cols = app.pool_prologue_im2col(r, logits, scale, shift,
                                           self.kernel_size,
                                           self.act_func)
-        y = conv(None, precols=cols)
-      else:
-        y = conv(x, prologue=(scale, shift, self.act_func))
+        # raw output + pending bias: the downstream pool block absorbs
+        # the bias, so this matmul's result feeds the next Pallas call
+        # copy-free
+        y_raw, b = conv(None, precols=cols, defer_bias=True)
+        return PendingBias(y_raw, b)
+      y = conv(x, prologue=(scale, shift, self.act_func))
       if self.residual and self._defer_residual():
         return Pool(self.pool_func, self.pool_size,
                     in_channels=self.out_channels)(
@@ -272,8 +401,10 @@ class ConvBlock(nn.Module):
       return Pool(self.pool_func, self.pool_size,
                   in_channels=self.out_channels)(y, defer=defer_pool)
 
-    assert not deferred, ('deferred pool input requires the NACDR '
-                          'eval fast path')
+    assert not deferred and not pending, (
+        'deferred/pending input requires the NACDR eval fast path')
+    if self.residual:
+      x_input = ChannelTransform(self.in_channels, self.out_channels)(x)
     pending_res = None
     for name in self.order:
       if name == 'C':

@@ -241,7 +241,33 @@ class EnformerConvTower(nn.Module):
     # only defer when a consuming conv block exists (n_blocks > 1)
     defer = (blocks.use_fused_nacdr() and not train
              and self.n_blocks > 1)
-    x = Conv1D(half, 15, dtype=x.dtype, name='stem_conv')(x)
+    # LNC (L-major) pipeline: run the whole tower logically as
+    # (L, N, C). Ground truth from the optimized HLO (r2): XLA gives
+    # rank-3 (N, L, C) dot outputs the {2,0,1} physical layout while
+    # Pallas custom calls demand the default {2,1,0} — every kernel
+    # boundary in the NLC tower pays a relayout copy (~10 ms/step at
+    # B*M=5120) plus odd-L pad passes. (L, N, C)'s DEFAULT layout IS
+    # the dot-preferred physical layout, so the LNC kernels
+    # (ops/attn_pool_pallas.py LNC section) see copy-free operands and
+    # emit pad slabs in-kernel. Opt out with SVDD_TOWER_LNC=0.
+    lnc = (defer and os.environ.get('SVDD_TOWER_LNC', '1') == '1'
+           and x.shape[1] % 2 == 0)
+    if lnc:
+      x = jnp.transpose(x, (1, 0, 2))            # (L, B, 4)
+      x = blocks.PendingBias(*Conv1D(half, 15, dtype=x.dtype,
+                                     name='stem_conv')(
+                                         x, defer_bias=True, lnc=True),
+                             lnc=True)
+    elif blocks.use_fused_nacdr() and not train:
+      # raw stem output + deferred bias (PendingBias): the stem block
+      # folds the bias into its norm affine, so this matmul's result
+      # feeds the attention-pool kernel without a bias-materialization
+      # copy (see ops/conv1d.py defer_bias)
+      x = blocks.PendingBias(*Conv1D(half, 15, dtype=x.dtype,
+                                     name='stem_conv')(
+                                         x, defer_bias=True))
+    else:
+      x = Conv1D(half, 15, dtype=x.dtype, name='stem_conv')(x)
     x = blocks.ConvBlock(
         in_channels=half, out_channels=half, kernel_size=1,
         act_func='gelu_enformer', residual=True, order='NACDR',
@@ -262,6 +288,8 @@ class EnformerConvTower(nn.Module):
           order='NACDR', pool_func='attn', pool_size=2,
           name=f'pool_{i}')(x, train=train,
                             defer_pool=defer and not last)
+    if lnc:
+      x = jnp.transpose(x, (1, 0, 2))            # back to (B, L', C)
     return x
 
 

@@ -321,7 +321,7 @@ def attn_pool_wlogits_reference(x: Array, w: Array, mask_tail: bool,
   logits = jnp.dot(x, w.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
   if mask_tail:
-    neg = jnp.finfo(jnp.float32).min
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
     logits = logits.at[:, -1, :].set(neg)
   return attn_pool_reference(x, logits)
 
@@ -672,3 +672,328 @@ def wlogits_pool_ok(l_padded: int, c: int) -> bool:
   fall back to the jnp reference when use_pallas is off, so this only
   checks the shape contract, not the backend)."""
   return l_padded % 2 == 0 and c % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# LNC (L-major) kernel variants
+# ---------------------------------------------------------------------------
+# Layout ground truth (optimized-HLO dump, r2): XLA assigns rank-3
+# (N, L, C) dot outputs the {2,0,1} physical layout — L outermost —
+# while Pallas custom calls constrain operands/results to the default
+# {2,1,0}. Every kernel boundary in the NLC tower therefore pays a
+# relayout copy (~10 ms/step at B*M=5120) plus odd-L pad passes.
+#
+# The LNC variants run the tower logically as (L, N, C): its DEFAULT
+# layout is exactly the dot-preferred physical layout, so conv matmul
+# outputs flow into these kernels (and kernel cols flow into the next
+# matmul) with zero copies. In-kernel the blocks are (l, tile_n, c) —
+# minor dims (tile_n, c) are perfectly (8,128)-tiled, pairs are
+# adjacent LEADING-dim slabs (no lane-split reshape), and im2col
+# offsets are static leading-dim ref stores.
+#
+# ``pad_out`` appends one all-zero output slab so an odd pooled length
+# is emitted even: the downstream conv matmul produces a zero raw row
+# there (bias is deferred, ops/conv1d.py), and the next pool's
+# mask_tail blend ignores it — the XLA pad passes disappear entirely.
+
+
+def _pool_wlogits_blend_lnc(x, w_ref, *, mask_tail):
+  """In-VMEM blend on (l, tn, c) blocks -> pooled (l/2, tn, c) f32.
+  Pairs are adjacent leading-dim slabs; logits are the pairwise-
+  difference dot, so constant channel offsets cancel."""
+  l, tn, c = x.shape
+  lh = l // 2
+  xp = x.reshape(lh, 2, tn, c)
+  x0 = xp[:, 0].astype(jnp.float32)
+  x1 = xp[:, 1].astype(jnp.float32)
+  d = x0 - x1
+  ld = jax.lax.dot_general(
+      d.astype(x.dtype).reshape(lh * tn, c), w_ref[:],
+      (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32).reshape(lh, tn, c)
+  wgt = jax.nn.sigmoid(ld)
+  if mask_tail:
+    pos = jax.lax.broadcasted_iota(jnp.int32, (lh, tn, c), 0)
+    wgt = jnp.where(pos == lh - 1, 1.0, wgt)
+  return x1 + d * wgt
+
+
+def _wl_kernel_lnc(x_ref, *rest, mask_tail, has_res):
+  if has_res:
+    res_ref, w_ref, o_ref = rest
+  else:
+    w_ref, o_ref = rest
+  x = x_ref[:]
+  if has_res:
+    x = x + res_ref[:]
+  o_ref[:] = _pool_wlogits_blend_lnc(
+      x, w_ref, mask_tail=mask_tail).astype(x.dtype)
+
+
+def _pick_tile_n_lnc(n: int, l: int, c: int, k_live: int = 0,
+                     has_res: bool = False,
+                     budget: int = 60 * 2 ** 20) -> int:
+  """tile over N (minor-2 dim): multiples of 8 that divide n."""
+  best = 0
+  for cand in (8, 16, 32, 64, 128, 256):
+    if n % cand:
+      continue
+    rows = l * cand * c
+    est = ((4 if has_res else 2) * rows * 2   # x (+res) double-buffered
+           + 4 * (rows // 2) * 4              # f32 blend temps
+           + c * c * 2                        # resident W
+           + (rows // 2 * 2 if k_live else 0)       # activated pooled
+           + 2 * (rows // 2) * max(k_live, 1) * 2)  # out double-buffered
+    if est <= budget:
+      best = cand
+  return best
+
+
+@functools.partial(jax.jit, static_argnames=('mask_tail', 'interpret'))
+def attn_pool_wlogits_lnc_pallas(x: Array, w: Array, mask_tail: bool,
+                                 residual: Array | None = None,
+                                 interpret: bool = False) -> Array:
+  """LNC pairwise attention pool; x (L, N, C) with L even."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  l, n, c = x.shape
+  has_res = residual is not None
+  tile_n = _pick_tile_n_lnc(n, l, c, has_res=has_res)
+  body = functools.partial(_wl_kernel_lnc, mask_tail=mask_tail,
+                           has_res=has_res)
+  xspec = pl.BlockSpec((l, tile_n, c), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+  in_specs = [xspec] + ([xspec] if has_res else []) + [
+      pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+  args = (x,) + ((residual,) if has_res else ()) + (w.astype(x.dtype),)
+  return pl.pallas_call(
+      body,
+      grid=(n // tile_n,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((l // 2, tile_n, c), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((l // 2, n, c), x.dtype),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      cost_estimate=pl.CostEstimate(
+          flops=n * l * c * c // 2 + 8 * n * l * c,
+          bytes_accessed=x.size * 2 * (2 if has_res else 1) + x.size,
+          transcendentals=n * l // 2 * c),
+      interpret=interpret,
+  )(*args)
+
+
+def attn_pool_wlogits_lnc_reference(x: Array, w: Array, mask_tail: bool,
+                                    residual: Array | None = None
+                                    ) -> Array:
+  nlc = jnp.transpose(x, (1, 0, 2))
+  res = None if residual is None else jnp.transpose(residual, (1, 0, 2))
+  out = attn_pool_wlogits_reference(nlc, w, mask_tail, res)
+  return jnp.transpose(out, (1, 0, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _wl_lnc_core(x, res, w, mask_tail, interpret):
+  return attn_pool_wlogits_lnc_pallas(x, w, mask_tail, residual=res,
+                                      interpret=interpret)
+
+
+def _wl_lnc_fwd(x, res, w, mask_tail, interpret):
+  out = attn_pool_wlogits_lnc_pallas(x, w, mask_tail, residual=res,
+                                     interpret=interpret)
+  return out, (x, res, w)
+
+
+def _wl_lnc_bwd(mask_tail, interpret, saved, ct):
+  x, res, w = saved
+  if res is None:
+    _, vjp = jax.vjp(
+        lambda x_, w_: attn_pool_wlogits_lnc_reference(
+            x_, w_, mask_tail), x, w)
+    gx, gw = vjp(ct)
+    return gx, None, gw
+  _, vjp = jax.vjp(
+      lambda x_, r_, w_: attn_pool_wlogits_lnc_reference(
+          x_, w_, mask_tail, r_), x, res, w)
+  return vjp(ct)
+
+
+_wl_lnc_core.defvjp(_wl_lnc_fwd, _wl_lnc_bwd)
+
+
+def attn_pool_wlogits_lnc(x: Array, w: Array, mask_tail: bool,
+                          residual: Array | None = None,
+                          use_pallas: bool | None = None) -> Array:
+  """LNC dispatcher; x (L, N, C), L even."""
+  l, n, c = x.shape
+  if use_pallas is None:
+    use_pallas = use_pallas_attn_pool()
+  has_res = residual is not None
+  ok = (l % 2 == 0 and c % 128 == 0
+        and _pick_tile_n_lnc(n, l, c, has_res=has_res) > 0)
+  if use_pallas and ok:
+    return _wl_lnc_core(x, residual, w, mask_tail, False)
+  return attn_pool_wlogits_lnc_reference(x, w, mask_tail, residual)
+
+
+def pool_prologue_im2col_wlogits_lnc_reference(
+    x: Array, w: Array, scale: Array, shift: Array, k_taps: int,
+    act: str | None, mask_tail: bool, residual: Array | None = None,
+    pad_out: bool = False) -> Array:
+  pooled = attn_pool_wlogits_lnc_reference(x, w, mask_tail, residual)
+  xg = _act(act, pooled.astype(jnp.float32)
+            * scale[None, None, :] + shift[None, None, :]
+            ).astype(x.dtype)
+  lh, n, c = xg.shape
+  slabs = []
+  for off in _live_offsets(k_taps, lh):
+    if off >= 0:
+      seg = jnp.pad(xg[off:], ((0, off), (0, 0), (0, 0)))
+    else:
+      seg = jnp.pad(xg[:lh + off], ((-off, 0), (0, 0), (0, 0)))
+    slabs.append(seg)
+  cols = jnp.concatenate(slabs, axis=-1)
+  if pad_out:
+    cols = jnp.pad(cols, ((0, 1), (0, 0), (0, 0)))
+  return cols
+
+
+def _wl_mega_kernel_lnc(x_ref, *rest, offsets, act, mask_tail,
+                        has_res, pad_out):
+  if has_res:
+    res_ref, w_ref, s_ref, t_ref, o_ref = rest
+  else:
+    w_ref, s_ref, t_ref, o_ref = rest
+  x = x_ref[:]
+  if has_res:
+    x = x + res_ref[:]
+  l = x.shape[0]
+  lh = l // 2
+  c = x.shape[-1]
+  pooled = _pool_wlogits_blend_lnc(x, w_ref, mask_tail=mask_tail)
+  xg = _act(act, pooled * s_ref[0][None, None, :]
+            + t_ref[0][None, None, :]).astype(x.dtype)
+  tn = x.shape[1]
+  for j, off in enumerate(offsets):
+    lane = slice(j * c, (j + 1) * c)
+    if off >= 0:
+      o_ref[:lh - off, :, lane] = xg[off:]
+      if off:
+        o_ref[lh - off:lh, :, lane] = jnp.zeros((off, tn, c), xg.dtype)
+    else:
+      o_ref[-off:lh, :, lane] = xg[:lh + off]
+      o_ref[:-off, :, lane] = jnp.zeros((-off, tn, c), xg.dtype)
+  if pad_out:
+    o_ref[lh:lh + 1] = jnp.zeros((1, tn, len(offsets) * c), xg.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('k_taps', 'act',
+                                             'mask_tail', 'pad_out',
+                                             'interpret'))
+def pool_prologue_im2col_wlogits_lnc_pallas(
+    x: Array, w: Array, scale: Array, shift: Array, k_taps: int,
+    act: str | None, mask_tail: bool, residual: Array | None = None,
+    pad_out: bool = False, interpret: bool = False) -> Array:
+  """LNC mega kernel: pool blend + next block's BN affine + act +
+  im2col emission in one VMEM pass; x (L, N, C), L even. Output
+  (LH(+1), N, k_live*C), ready for ONE stacked conv matmul."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  l, n, c = x.shape
+  lh = l // 2
+  lh_out = lh + (1 if pad_out else 0)
+  offsets = tuple(_live_offsets(k_taps, lh))
+  k_live = len(offsets)
+  has_res = residual is not None
+  tile_n = _pick_tile_n_lnc(n, l, c, k_live=k_live, has_res=has_res)
+  body = functools.partial(_wl_mega_kernel_lnc, offsets=offsets,
+                           act=act, mask_tail=mask_tail,
+                           has_res=has_res, pad_out=pad_out)
+  xspec = pl.BlockSpec((l, tile_n, c), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+  row = lambda cc: pl.BlockSpec((1, cc), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+  in_specs = [xspec] + ([xspec] if has_res else []) + [
+      pl.BlockSpec((c, c), lambda i: (0, 0),
+                   memory_space=pltpu.VMEM), row(c), row(c)]
+  args = ((x,) + ((residual,) if has_res else ())
+          + (w.astype(x.dtype),
+             scale.reshape(1, c).astype(jnp.float32),
+             shift.reshape(1, c).astype(jnp.float32)))
+  return pl.pallas_call(
+      body,
+      grid=(n // tile_n,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((lh_out, tile_n, k_live * c),
+                             lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((lh_out, n, k_live * c), x.dtype),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      cost_estimate=pl.CostEstimate(
+          flops=n * l * c * c // 2 + 12 * n * l * c,
+          bytes_accessed=(x.size * 2 * (2 if has_res else 1)
+                          + n * lh_out * k_live * c * 2),
+          transcendentals=n * l * c),
+      interpret=interpret,
+  )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _wl_mega_lnc_core(x, res, w, scale, shift, k_taps, act, mask_tail,
+                      pad_out, interpret):
+  return pool_prologue_im2col_wlogits_lnc_pallas(
+      x, w, scale, shift, k_taps, act, mask_tail, residual=res,
+      pad_out=pad_out, interpret=interpret)
+
+
+def _wl_mega_lnc_fwd(x, res, w, scale, shift, k_taps, act, mask_tail,
+                     pad_out, interpret):
+  out = pool_prologue_im2col_wlogits_lnc_pallas(
+      x, w, scale, shift, k_taps, act, mask_tail, residual=res,
+      pad_out=pad_out, interpret=interpret)
+  return out, (x, res, w, scale, shift)
+
+
+def _wl_mega_lnc_bwd(k_taps, act, mask_tail, pad_out, interpret,
+                     saved, ct):
+  x, res, w, scale, shift = saved
+  if res is None:
+    _, vjp = jax.vjp(
+        lambda x_, w_, s_, t_: pool_prologue_im2col_wlogits_lnc_reference(
+            x_, w_, s_, t_, k_taps, act, mask_tail, pad_out=pad_out),
+        x, w, scale, shift)
+    gx, gw, gs, gt = vjp(ct)
+    return gx, None, gw, gs, gt
+  _, vjp = jax.vjp(
+      lambda x_, r_, w_, s_, t_:
+      pool_prologue_im2col_wlogits_lnc_reference(
+          x_, w_, s_, t_, k_taps, act, mask_tail, r_, pad_out=pad_out),
+      x, res, w, scale, shift)
+  return vjp(ct)
+
+
+_wl_mega_lnc_core.defvjp(_wl_mega_lnc_fwd, _wl_mega_lnc_bwd)
+
+
+def pool_prologue_im2col_wlogits_lnc(
+    x: Array, w: Array, scale: Array, shift: Array, k_taps: int,
+    act: str | None, mask_tail: bool, residual: Array | None = None,
+    pad_out: bool = False, use_pallas: bool | None = None) -> Array:
+  """LNC dispatcher; x (L, N, C), L even."""
+  l, n, c = x.shape
+  if use_pallas is None:
+    use_pallas = use_pallas_attn_pool()
+  k_live = len(_live_offsets(k_taps, l // 2))
+  has_res = residual is not None
+  ok = (l % 2 == 0 and c % 128 == 0
+        and _pick_tile_n_lnc(n, l, c, k_live=k_live,
+                             has_res=has_res) > 0)
+  if use_pallas and ok:
+    return _wl_mega_lnc_core(x, residual, w, scale, shift, k_taps,
+                             act, mask_tail, pad_out, False)
+  return pool_prologue_im2col_wlogits_lnc_reference(
+      x, w, scale, shift, k_taps, act, mask_tail, residual,
+      pad_out=pad_out)

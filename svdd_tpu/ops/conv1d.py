@@ -83,6 +83,37 @@ def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
   return out
 
 
+def conv1d_shifted_lnc(x: Array, kernel: Array,
+                       bias: Array | None = None,
+                       dilation: int = 1) -> Array:
+  """conv1d_shifted for L-major (L, B, Cin) inputs: shifts slice the
+  LEADING dim. Used by the LNC tower pipeline (see
+  ops/attn_pool_pallas.py LNC section) where the L-major logical
+  layout matches the XLA dot-preferred physical layout."""
+  k_taps, c_in, c_out = kernel.shape
+  l = x.shape[0]
+  half = (k_taps - 1) // 2 * dilation
+
+  def shifted(arr, off):
+    if off > 0:
+      return jnp.pad(arr[off:], ((0, off), (0, 0), (0, 0)))
+    if off < 0:
+      return jnp.pad(arr[:l + off], ((-off, 0), (0, 0), (0, 0)))
+    return arr
+
+  live = [k for k in range(k_taps)
+          if -l < k * dilation - half < l]
+  if not live:
+    out = jnp.zeros(x.shape[:-1] + (c_out,), x.dtype)
+    return out + bias if bias is not None else out
+  cols = jnp.concatenate(
+      [shifted(x, k * dilation - half) for k in live], axis=-1)
+  w = jnp.concatenate([kernel[k] for k in live], axis=0)
+  out = jnp.dot(cols, w,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+  return out + bias if bias is not None else out
+
+
 class Conv1D(nn.Module):
   """Drop-in for flax nn.Conv(features, (k,), kernel_dilation=(d,),
   padding='SAME') with identical parameter shapes/names.
@@ -100,13 +131,30 @@ class Conv1D(nn.Module):
 
   @nn.compact
   def __call__(self, x: Array, prologue: tuple | None = None,
-               precols: Array | None = None) -> Array:
+               precols: Array | None = None,
+               defer_bias: bool = False,
+               precols_len: int | None = None,
+               lnc: bool = False):
+    """``defer_bias=True`` returns ``(raw_out, bias_f32)`` with the
+    bias NOT added. Rationale (trace r2-b512): when the conv output
+    feeds a Pallas custom call, XLA cannot fuse the bias add into the
+    call's operand read and materializes a full biased copy
+    (~14 ms/step of copy_add fusions across the value tower). The
+    NACDR pipeline folds deferred biases into the next block's
+    norm-affine shift instead — they cancel inside the pairwise
+    attention-pool blend, see models/blocks.py."""
     if precols is not None:
       # pre-built im2col buffer (the deferred-pool mega kernel,
       # ops/attn_pool_pallas.pool_prologue_im2col): ONE stacked matmul
       dtype = self.dtype or precols.dtype
-      l = precols.shape[1]
       half = (self.kernel_size - 1) // 2 * self.dilation
+      if precols_len is not None:
+        # LNC cols: the length dim is LEADING (and may carry a pad
+        # slab), so the caller passes the REAL pooled length the
+        # producer used for its live-offset set
+        l = precols_len
+      else:
+        l = precols.shape[1]
       live = [k for k in range(self.kernel_size)
               if -l < k * self.dilation - half < l]
       c_in = precols.shape[-1] // len(live)
@@ -119,7 +167,11 @@ class Conv1D(nn.Module):
       if self.use_bias:
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,))
+        if defer_bias:
+          return out, bias.astype(jnp.float32)
         out = out + bias.astype(dtype)
+      elif defer_bias:
+        return out, jnp.zeros((self.features,), jnp.float32)
       return out
     dtype = self.dtype or x.dtype
     kernel = self.param(
@@ -128,6 +180,12 @@ class Conv1D(nn.Module):
     bias = (self.param('bias', nn.initializers.zeros,
                        (self.features,)) if self.use_bias else None)
     x = x.astype(dtype)
+    if defer_bias:
+      shift_fn = conv1d_shifted_lnc if lnc else conv1d_shifted
+      raw = shift_fn(x, kernel.astype(dtype), None, self.dilation)
+      b = (bias.astype(jnp.float32) if bias is not None
+           else jnp.zeros((self.features,), jnp.float32))
+      return raw, b
     if prologue is not None:
       assert self.dilation == 1 and bias is not None
       scale, shift, act_name = prologue

@@ -478,3 +478,88 @@ def test_wlogits_residual_absorption():
   for a, b in zip(gd, gr):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-3, rtol=1e-2)
+
+
+def test_wlogits_lnc_kernels_match_reference():
+  """LNC (L-major) kernel variants == transposed references across
+  even/odd lengths, tail masks, pad_out emission, and no-residual
+  paths; grads flow through the residual-carrying custom VJP."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_pool_pallas as ap
+
+  key = jax.random.key(0)
+  for (l, n, c, k, mask, pad_out) in [(16, 8, 128, 5, False, False),
+                                      (26, 8, 128, 5, True, True),
+                                      (14, 16, 256, 5, True, False),
+                                      (8, 8, 128, 1, False, True)]:
+    x = jax.random.normal(key, (l, n, c), jnp.float32)
+    res = jax.random.normal(jax.random.fold_in(key, 9), (l, n, c))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (c, c)) * 0.2
+    scale = jax.random.normal(jax.random.fold_in(key, 2), (c,)) + 1.0
+    shift = jax.random.normal(jax.random.fold_in(key, 3), (c,))
+    want = ap.pool_prologue_im2col_wlogits_lnc_reference(
+        x, w, scale, shift, k, 'gelu_enformer', mask, res,
+        pad_out=pad_out)
+    got = ap.pool_prologue_im2col_wlogits_lnc_pallas(
+        x, w, scale, shift, k, 'gelu_enformer', mask, residual=res,
+        pad_out=pad_out, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+    want2 = ap.attn_pool_wlogits_lnc_reference(x, w, mask, res)
+    got2 = ap.attn_pool_wlogits_lnc_pallas(x, w, mask, residual=res,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=3e-5, rtol=3e-5)
+
+  x = jax.random.normal(key, (16, 8, 128), jnp.float32)
+  res = jax.random.normal(jax.random.fold_in(key, 9), (16, 8, 128))
+  w = jax.random.normal(jax.random.fold_in(key, 1), (128, 128)) * 0.2
+  scale = jnp.ones((128,))
+  shift = jnp.zeros((128,))
+
+  def f_disp(x, res):
+    return (ap._wl_mega_lnc_core(x, res, w, scale, shift, 5,
+                                 'gelu_enformer', False, False, True)
+            ** 2).sum()
+
+  def f_ref(x, res):
+    return (ap.pool_prologue_im2col_wlogits_lnc_reference(
+        x, w, scale, shift, 5, 'gelu_enformer', False, res) ** 2).sum()
+
+  gd = jax.grad(f_disp, argnums=(0, 1))(x, res)
+  gr = jax.grad(f_ref, argnums=(0, 1))(x, res)
+  for a, b in zip(gd, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-3, rtol=1e-2)
+
+
+def test_enformer_tower_lnc_matches_nlc_pipeline():
+  """SVDD_TOWER_LNC=1 (default) == SVDD_TOWER_LNC=0 == plain
+  per-block path: pins the L-major restructuring incl. bias deferral,
+  pad_out chaining, and tail masks end-to-end."""
+  import os
+  import jax
+  import numpy as np
+  from svdd_tpu.models.enformer import EnformerValueModel
+
+  vm = EnformerValueModel(n_tasks=1, n_conv=4, channels=256,
+                          n_transformers=1, n_heads=2, key_len=8)
+  # L=42 exercises odd pooled lengths (21 -> 11 -> 6) in a 4-block
+  # tower: pad_out + tail_pad chaining on every stage
+  x = jax.random.normal(jax.random.key(0), (2, 42, 4))
+  v = jax.jit(vm.init)(jax.random.key(1), x)
+  lnc = np.asarray(vm.apply(v, x))
+  os.environ['SVDD_TOWER_LNC'] = '0'
+  try:
+    nlc = np.asarray(vm.apply(v, x))
+  finally:
+    os.environ.pop('SVDD_TOWER_LNC')
+  os.environ['SVDD_FUSED_NACDR'] = '0'
+  try:
+    plain = np.asarray(vm.apply(v, x))
+  finally:
+    os.environ.pop('SVDD_FUSED_NACDR')
+  np.testing.assert_allclose(lnc, nlc, atol=2e-4)
+  np.testing.assert_allclose(lnc, plain, atol=2e-4)
