@@ -132,8 +132,11 @@ class EnformerAttention(nn.Module):
   num_rel_pos_features: int = 192
 
   @nn.compact
-  def __call__(self, x: Array, train: bool = False) -> Array:
+  def __call__(self, x: Array, train: bool = False,
+               lnc: bool = False) -> Array:
     b, n, _ = x.shape
+    if lnc:
+      n = x.shape[0]        # L-major (2, N, C) input
     h, dk, dv = self.heads, self.dim_key, self.dim_value
 
     q = nn.Dense(h * dk, use_bias=False, dtype=x.dtype, name='to_q')(x)
@@ -144,6 +147,28 @@ class EnformerAttention(nn.Module):
         'rel_content_bias', nn.initializers.normal(1.0), (1, h, 1, dk))
     rel_pos_bias = self.param(
         'rel_pos_bias', nn.initializers.normal(1.0), (1, h, 1, dk))
+
+    if lnc:
+      # L-major L=2 fast path: positions are leading-dim slabs; the
+      # qkv dot outputs feed the kernel (and its output feeds to_out)
+      # with no rank-3 boundary relayouts (ops/attn_l2_pallas.py LNC)
+      assert n == 2
+      from svdd_tpu.ops.attn_l2_pallas import attn_l2_lnc
+      positions = jnp.asarray(
+          relative_positional_basis(n, self.num_rel_pos_features),
+          dtype=x.dtype)
+      relk = nn.Dense(h * dk, use_bias=False, dtype=x.dtype,
+                      name='to_rel_k')(positions)       # (3, h*dk)
+      out_flat, w = attn_l2_lnc(
+          q / math.sqrt(dk), k, v,
+          rel_content_bias.reshape(h * dk).astype(x.dtype),
+          rel_pos_bias.reshape(h * dk).astype(x.dtype),
+          relk, heads=h)
+      wn = jnp.transpose(w, (1, 0, 2))                  # (N, 2, H)
+      attn_bhij = jnp.stack([wn, 1.0 - wn],
+                            axis=-1).transpose(0, 2, 1, 3)
+      self.sow('intermediates', 'attention', attn_bhij)
+      return nn.Dense(self.dim, dtype=x.dtype, name='to_out')(out_flat)
 
     if n == 2:
       # L=2 fast path: fused head-segmented blend kernel — no head
@@ -206,14 +231,16 @@ class EnformerTransformerBlock(nn.Module):
   ff_dropout: float = 0.4
 
   @nn.compact
-  def __call__(self, x: Array, train: bool = False) -> Array:
+  def __call__(self, x: Array, train: bool = False,
+               lnc: bool = False) -> Array:
     skip = x
     # epsilon 1e-5 matches torch.nn.LayerNorm for checkpoint parity
     x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
     x = EnformerAttention(
         dim=self.in_len, heads=self.n_heads, dim_key=self.key_len,
         dim_value=self.in_len // self.n_heads,
-        num_rel_pos_features=self.in_len // self.n_heads)(x, train=train)
+        num_rel_pos_features=self.in_len // self.n_heads)(
+            x, train=train, lnc=lnc)
     x = nn.Dropout(self.ff_dropout, deterministic=not train)(x)
     x = skip + x
     ffn_in = x
@@ -229,7 +256,9 @@ class EnformerConvTower(nn.Module):
   out_channels: int = 1536
 
   @nn.compact
-  def __call__(self, x: Array, train: bool = False) -> Array:
+  def __call__(self, x: Array, train: bool = False,
+               lnc: bool | None = None,
+               keep_lnc: bool = False) -> Array:
     half = self.out_channels // 2
     from svdd_tpu.ops.conv1d import Conv1D
     # deferred-pool pipeline (eval only): each attention pool hands
@@ -250,8 +279,10 @@ class EnformerConvTower(nn.Module):
     # the dot-preferred physical layout, so the LNC kernels
     # (ops/attn_pool_pallas.py LNC section) see copy-free operands and
     # emit pad slabs in-kernel. Opt out with SVDD_TOWER_LNC=0.
-    lnc = (defer and os.environ.get('SVDD_TOWER_LNC', '1') == '1'
-           and x.shape[1] % 2 == 0)
+    if lnc is None:
+      lnc = (os.environ.get('SVDD_TOWER_LNC', '1') == '1'
+             and x.shape[1] % 2 == 0)
+    lnc = lnc and defer
     if lnc:
       x = jnp.transpose(x, (1, 0, 2))            # (L, B, 4)
       x = blocks.PendingBias(*Conv1D(half, 15, dtype=x.dtype,
@@ -288,7 +319,7 @@ class EnformerConvTower(nn.Module):
           order='NACDR', pool_func='attn', pool_size=2,
           name=f'pool_{i}')(x, train=train,
                             defer_pool=defer and not last)
-    if lnc:
+    if lnc and not keep_lnc:
       x = jnp.transpose(x, (1, 0, 2))            # back to (B, L', C)
     return x
 
@@ -314,8 +345,21 @@ class EnformerTrunk(nn.Module):
 
   @nn.compact
   def __call__(self, x: Array, train: bool = False) -> Array:
+    # L-major (LNC) eval pipeline: the conv tower AND — when the
+    # post-tower length is 2 (the DNA task) — the transformer stack
+    # run on (L, N, C) arrays, so every Pallas boundary sees the
+    # XLA-dot-native layout copy-free (ops/attn_pool_pallas.py LNC
+    # section). Public contract unchanged: the trunk still returns
+    # (B, L', 2C); the exit transpose is one ~0.1 ms pass.
+    lnc = (blocks.use_fused_nacdr() and not train and self.n_conv > 1
+           and os.environ.get('SVDD_TOWER_LNC', '1') == '1'
+           and x.shape[1] % 2 == 0)
     x = EnformerConvTower(n_blocks=self.n_conv,
-                          out_channels=self.channels)(x, train=train)
+                          out_channels=self.channels)(
+                              x, train=train, lnc=lnc, keep_lnc=True)
+    lnc_t = lnc and x.shape[0] == 2   # transformer L-major fast path
+    if lnc and not lnc_t:
+      x = jnp.transpose(x, (1, 0, 2))
     block_kwargs = dict(
         in_len=self.channels, n_heads=self.n_heads,
         key_len=self.key_len, attn_dropout=self.attn_dropout,
@@ -325,7 +369,7 @@ class EnformerTrunk(nn.Module):
         @nn.compact
         def __call__(self, carry, _):
           return EnformerTransformerBlock(**block_kwargs)(
-              carry, train=train), None
+              carry, train=train, lnc=lnc_t), None
 
       # SVDD_UNROLL_TOWER=n unrolls the scan body n-fold (param tree
       # unchanged — still stacked): trades XLA graph size for the
@@ -342,13 +386,16 @@ class EnformerTrunk(nn.Module):
     else:
       for i in range(self.n_transformers):
         x = EnformerTransformerBlock(
-            **block_kwargs, name=f'transformer_{i}')(x, train=train)
+            **block_kwargs, name=f'transformer_{i}')(x, train=train,
+                                                     lnc=lnc_t)
     x = blocks.ConvBlock(
         in_channels=self.channels, out_channels=self.channels * 2,
         kernel_size=1, act_func='gelu_enformer',
         dropout=self.ff_dropout // 8, order='NACDR',
         name='pointwise')(x, train=train)
     x = blocks.gelu_enformer(x)
+    if lnc_t:
+      x = jnp.transpose(x, (1, 0, 2))
     if self.crop_len:
       x = x[:, self.crop_len:-self.crop_len]
     return x

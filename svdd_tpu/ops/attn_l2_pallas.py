@@ -188,6 +188,139 @@ def use_pallas_attn_l2() -> bool:
   return default_on_tpu('SVDD_PALLAS_ATTN_L2')
 
 
+# ---------------------------------------------------------------------------
+# LNC (L-major) variant: q/k/v are (2, N, H*d) — the layout the whole
+# L-major trunk runs in (see ops/attn_pool_pallas.py LNC section).
+# Positions are leading-dim slabs, so the kernel needs no head
+# transposes AND no (N, 2, d) rank-3 boundary relayouts: the qkv dot
+# outputs flow in, and the blend output flows to to_out, copy-free.
+# ---------------------------------------------------------------------------
+
+
+def attn_l2_lnc_reference(q, k, v, bc, bp, relk, sel, exp):
+  """jnp reference; q,k (2, N, H*dk) with q pre-scaled, v (2, N, H*dv).
+  Returns (out (2, N, H*dv), w (2, N, H))."""
+  qn = jnp.transpose(q, (1, 0, 2))
+  kn = jnp.transpose(k, (1, 0, 2))
+  vn = jnp.transpose(v, (1, 0, 2))
+  out, w = attn_l2_reference(qn, kn, vn, bc, bp, relk, sel, exp)
+  return (jnp.transpose(out, (1, 0, 2)), jnp.transpose(w, (1, 0, 2)))
+
+
+def _kernel_lnc(q_ref, k_ref, v_ref, bc_ref, bp_ref, r0_ref, r1_ref,
+                s_ref, e_ref, o_ref, w_ref):
+  q = q_ref[:]                                   # (2, tn, H*dk)
+  tn = q.shape[1]
+  qc = (q + bc_ref[0][None, None, :]).astype(jnp.float32)
+  qp = (q + bp_ref[0][None, None, :]).astype(jnp.float32)
+  k = k_ref[:].astype(jnp.float32)
+  dn = (((1,), (0,)), ((), ()))
+  # ONE dot for both j logits: subtract the j operands first and
+  # reduce the difference (see _kernel)
+  diff = (qc * (k[0:1] - k[1:2])
+          + qp * (r0_ref[:] - r1_ref[:])[:, None, :])
+  ld = jax.lax.dot_general(diff.reshape(2 * tn, -1), s_ref[:], dn,
+                           preferred_element_type=jnp.float32)
+  w = jax.nn.sigmoid(ld)                         # (2*tn, H)
+  wv = jax.lax.dot_general(w, e_ref[:], dn,
+                           preferred_element_type=jnp.float32)
+  v = v_ref[:].astype(jnp.float32)               # (2, tn, H*dv)
+  dv = v.shape[-1]
+  v0 = jnp.broadcast_to(v[0:1], (2, tn, dv)).reshape(2 * tn, dv)
+  v1 = jnp.broadcast_to(v[1:2], (2, tn, dv)).reshape(2 * tn, dv)
+  out = wv * v0 + (1.0 - wv) * v1
+  o_ref[:] = out.reshape(2, tn, dv).astype(v_ref.dtype)
+  w_ref[:] = w.reshape(2, tn, -1)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def attn_l2_lnc_pallas(q, k, v, bc, bp, relk, sel, exp,
+                       interpret: bool = False):
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  two, n, dqk = q.shape
+  dv = v.shape[-1]
+  heads = sel.shape[-1]
+  relk_j0, relk_j1 = _prep_relk(relk)
+  tile_n = 1280
+  while n % tile_n:
+    tile_n //= 2
+  grid = (n // tile_n,)
+  row = lambda c: pl.BlockSpec((1, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+  return pl.pallas_call(
+      _kernel_lnc, grid=grid,
+      in_specs=[
+          pl.BlockSpec((2, tile_n, dqk), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((2, tile_n, dqk), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((2, tile_n, dv), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM),
+          row(dqk), row(dqk),
+          pl.BlockSpec((2, dqk), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((2, dqk), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((dqk, heads), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((heads, dv), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((2, tile_n, dv), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((2, tile_n, heads), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_shape=[jax.ShapeDtypeStruct((2, n, dv), v.dtype),
+                 jax.ShapeDtypeStruct((2, n, heads), jnp.float32)],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      interpret=interpret,
+  )(q, k, v, bc.reshape(1, dqk), bp.reshape(1, dqk),
+    relk_j0, relk_j1, sel, exp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _lnc_core(q, k, v, bc, bp, relk, sel, exp, interpret):
+  return attn_l2_lnc_pallas(q, k, v, bc, bp, relk, sel, exp,
+                            interpret=interpret)
+
+
+def _lnc_fwd(q, k, v, bc, bp, relk, sel, exp, interpret):
+  out = attn_l2_lnc_pallas(q, k, v, bc, bp, relk, sel, exp,
+                           interpret=interpret)
+  return out, (q, k, v, bc, bp, relk, sel, exp)
+
+
+def _lnc_bwd(interpret, res, ct):
+  _, vjp = jax.vjp(attn_l2_lnc_reference, *res)
+  return vjp(ct)
+
+
+_lnc_core.defvjp(_lnc_fwd, _lnc_bwd)
+
+
+def attn_l2_lnc(q, k, v, bc, bp, relk, heads: int,
+                use_pallas: bool | None = None):
+  """LNC dispatcher. q,k (2, N, H*dk) with q pre-scaled; v
+  (2, N, H*dv); bc/bp flattened (H*dk,) biases; relk (3, H*dk)
+  distance rows. Returns (out (2, N, H*dv), w (2, N, H))."""
+  dqk = q.shape[-1]
+  dv = v.shape[-1]
+  sel = jnp.asarray(head_selector(heads, dqk // heads), jnp.float32)
+  exp = jnp.asarray(head_expander(heads, dv // heads), jnp.float32)
+  if use_pallas is None:
+    use_pallas = use_pallas_attn_l2()
+  ok = (dqk % 128 == 0 and dv % 128 == 0
+        and q.shape[1] % 8 == 0)
+  if use_pallas and ok:
+    return _lnc_core(q, k, v, bc, bp, relk, sel, exp, False)
+  return attn_l2_lnc_reference(q, k, v, bc, bp, relk, sel, exp)
+
+
 def attn_l2(q, k, v, bc, bp, relk, heads: int,
             use_pallas: bool | None = None):
   """Dispatcher. q,k (N, 2, H*dk) with q pre-scaled; v (N, 2, H*dv);

@@ -563,3 +563,59 @@ def test_enformer_tower_lnc_matches_nlc_pipeline():
     os.environ.pop('SVDD_FUSED_NACDR')
   np.testing.assert_allclose(lnc, nlc, atol=2e-4)
   np.testing.assert_allclose(lnc, plain, atol=2e-4)
+
+
+def test_enformer_trunk_lnc_transformer_matches():
+  """When the post-tower length is 2 (the DNA shape), the trunk runs
+  the transformer stack L-major (lnc_t) — pin it against the plain
+  per-block NLC path end-to-end through the value head."""
+  import os
+  import jax
+  import numpy as np
+  from svdd_tpu.models.enformer import EnformerValueModel
+
+  # L=64, n_conv=5: 64 ->(stem pool) 32 -> 16 -> 8 -> 4 -> 2, so the
+  # transformer stack sees length 2 and the L-major fast path engages
+  vm = EnformerValueModel(n_tasks=1, n_conv=5, channels=256,
+                          n_transformers=2, n_heads=2, key_len=8)
+  x = jax.random.normal(jax.random.key(0), (2, 64, 4))
+  v = jax.jit(vm.init)(jax.random.key(1), x)
+  lnc = np.asarray(vm.apply(v, x))
+  os.environ['SVDD_TOWER_LNC'] = '0'
+  try:
+    nlc = np.asarray(vm.apply(v, x))
+  finally:
+    os.environ.pop('SVDD_TOWER_LNC')
+  os.environ['SVDD_FUSED_NACDR'] = '0'
+  try:
+    plain = np.asarray(vm.apply(v, x))
+  finally:
+    os.environ.pop('SVDD_FUSED_NACDR')
+  np.testing.assert_allclose(lnc, nlc, atol=2e-4)
+  np.testing.assert_allclose(lnc, plain, atol=2e-4)
+
+
+def test_attn_l2_lnc_matches_reference():
+  """LNC (L-major) fused L=2 attention == the transposed NLC
+  reference (out and attention weights)."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_l2_pallas as al
+
+  key = jax.random.key(0)
+  h, dk, dv, n = 8, 64, 192, 16
+  q = jax.random.normal(key, (2, n, h * dk), jnp.float32)
+  k = jax.random.normal(jax.random.fold_in(key, 1), (2, n, h * dk))
+  v = jax.random.normal(jax.random.fold_in(key, 2), (2, n, h * dv))
+  bc = jax.random.normal(jax.random.fold_in(key, 3), (h * dk,))
+  bp = jax.random.normal(jax.random.fold_in(key, 4), (h * dk,))
+  relk = jax.random.normal(jax.random.fold_in(key, 5), (3, h * dk))
+  sel = jnp.asarray(al.head_selector(h, dk))
+  exp = jnp.asarray(al.head_expander(h, dv))
+  want = al.attn_l2_lnc_reference(q, k, v, bc, bp, relk, sel, exp)
+  got = al.attn_l2_lnc_pallas(q, k, v, bc, bp, relk, sel, exp,
+                              interpret=True)
+  for a, b in zip(got, want):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-4, rtol=2e-4)
