@@ -287,10 +287,14 @@ class Diffusion:
 
     class _Sampler:
       """key -> SampleResult; exposes the underlying jitted fn for
-      cached cost analysis / AOT lowering. ``variables`` overrides the
-      denoiser params per call WITHOUT recompiling (they are jit
-      arguments) — the in-training sample-quality eval reuses one
-      compiled sampler across EMA snapshots this way."""
+      cached cost analysis / AOT serialization (svdd_tpu.aot).
+      ``variables`` overrides the denoiser params per call WITHOUT
+      recompiling (they are jit arguments) — the in-training
+      sample-quality eval reuses one compiled sampler across EMA
+      snapshots this way."""
+
+      jitted_fn = staticmethod(jitted)
+      default_args = (den_vars, extra_vars)
 
       def __call__(self, key, variables=None):
         return jitted(den_vars if variables is None else variables,

@@ -328,9 +328,14 @@ class ConvBlock(nn.Module):
         assert self.kernel_size == 1
         y_raw, b_in, tail_pad, _ = x
         shift = shift + b_in * scale
+        # affine+act in the INPUT dtype: this chain fuses into the 1x1
+        # conv dot's operand read, and an f32 round-trip there throttles
+        # the MXU feed (measured: bf16 gelu on the operand is FREE,
+        # 95.8 vs 95.7 TF/s; f32 gelu+affine costs 11% —
+        # scripts/probe_1x1_operand.py). f32 inputs keep f32 math.
         t = activation(self.act_func,
-                       y_raw.astype(jnp.float32) * scale + shift
-                       ).astype(x_dtype)
+                       y_raw * scale.astype(x_dtype)
+                       + shift.astype(x_dtype)).astype(x_dtype)
         z_raw, b_c = conv(t, defer_bias=True)
         if self.residual:
           assert self.in_channels == self.out_channels, (
