@@ -111,3 +111,62 @@ def load(path: str | os.PathLike) -> Callable:
 def load_sampler(path: str | os.PathLike) -> Callable:
   """Load a sampler artifact: (den_vars, extra_vars, key) -> result."""
   return load(path)
+
+
+# ---------------------------------------------------------------------------
+# Compiled-executable artifacts. jax.export ships STABLEHLO — portable,
+# but the target still runs the XLA backend compile on first call (the
+# dominant cost here: 4-8 min through the remote TPU compiler). The
+# executable artifact instead pickles the COMPILED XLA program
+# (jax.experimental.serialize_executable): loading skips tracing,
+# lowering AND compilation. The trade: it is locked to the exact
+# backend/topology that compiled it — ship it per fleet configuration,
+# like the reference ships per-GPU torch.compile caches would.
+# ---------------------------------------------------------------------------
+
+MAGIC_EXEC = b'SVDDC001'
+
+
+def export_compiled(sampler: Any, path: str | os.PathLike,
+                    *, key: jax.Array | None = None) -> int:
+  """Compile a sampler (if not already cached) and serialize the XLA
+  executable to ``path``. Returns the artifact size in bytes."""
+  import pickle
+
+  from jax.experimental import serialize_executable as se
+
+  den_vars, extra_vars = sampler.default_args
+  if key is None:
+    key = jax.random.key(0)
+  compiled = sampler.jitted_fn.lower(den_vars, extra_vars, key).compile()
+  n_dev = len(compiled.runtime_executable().local_devices())
+  payload = pickle.dumps((n_dev,) + se.serialize(compiled))
+  data = MAGIC_EXEC + payload
+  with open(path, 'wb') as f:
+    f.write(data)
+  return len(data)
+
+
+def load_compiled(path: str | os.PathLike) -> Callable:
+  """Load an executable artifact: (den_vars, extra_vars, key) ->
+  result, with NO compile on first call. Raises ValueError on a bad
+  header or a backend mismatch (XLA validates at load)."""
+  import pickle
+
+  from jax.experimental import serialize_executable as se
+
+  with open(path, 'rb') as f:
+    data = f.read()
+  if not data.startswith(MAGIC_EXEC):
+    raise ValueError(
+        f'{path}: not an svdd_tpu compiled artifact (bad magic)')
+  n_dev, blob, in_tree, out_tree = pickle.loads(data[len(MAGIC_EXEC):])
+  # pin execution to the same device COUNT the program was compiled
+  # for (deserialize_and_load defaults to every local device, which
+  # breaks a 1-device program on a multi-device host)
+  devices = jax.devices()[:n_dev]
+  if len(devices) < n_dev:
+    raise ValueError(
+        f'{path}: compiled for {n_dev} devices, host has {len(devices)}')
+  return se.deserialize_and_load(blob, in_tree, out_tree,
+                                 execution_devices=devices)

@@ -50,6 +50,22 @@ def test_aot_bad_magic(tmp_path):
     raise AssertionError('expected ValueError')
 
 
+def test_aot_compiled_executable_roundtrip(tmp_path):
+  """The executable artifact reproduces the live sampler with no
+  recompile (same backend in-process, so load must succeed)."""
+  sampler = _mc_sampler()
+  key = jax.random.key(11)
+  want = sampler(key)
+  path = tmp_path / 'mc.svddc'
+  size = aot.export_compiled(sampler, path)
+  assert size > len(aot.MAGIC_EXEC)
+  call = aot.load_compiled(path)
+  den_vars, extra_vars = sampler.default_args
+  got = call(den_vars, extra_vars, key)
+  np.testing.assert_array_equal(np.asarray(got.samples),
+                                np.asarray(want.samples))
+
+
 def test_aot_export_fn_uncontrolled(tmp_path):
   """export_fn round-trips the plain (uncontrolled) sampler too."""
   cfg = tiny_test_config('rna')
