@@ -100,6 +100,43 @@ def _baseline(diffusion: Diffusion, reward_fn, batch_size: int,
   return baseline, top_k
 
 
+def _maybe_aot_cache(sampler, diffusion: Diffusion, algo: str,
+                     batch_size: int, sample_M: int):
+  """SVDD_AOT_CACHE=<dir>: serve the guided sampler from a compiled
+  XLA executable artifact (svdd_tpu.aot). First run compiles once and
+  exports; later processes load in seconds with NO compile. Keyed by
+  algo/shape/backend + a config hash; weights stay call arguments, so
+  new checkpoints reuse the artifact."""
+  cache_dir = os.environ.get('SVDD_AOT_CACHE')
+  if not cache_dir:
+    return sampler
+  import hashlib
+
+  from svdd_tpu import aot
+  cfg_hash = hashlib.sha1(
+      repr(diffusion.config).encode()).hexdigest()[:10]
+  name = (f'{algo}-b{batch_size}-m{sample_M}'
+          f'-{jax.default_backend()}-{cfg_hash}.svddc')
+  path = os.path.join(cache_dir, name)
+  den_vars, extra_vars = sampler.default_args
+  if os.path.exists(path):
+    call = aot.load_compiled(path)
+    LOGGER.info('AOT sampler loaded from %s (no compile)', path)
+
+    class _Loaded:
+      default_args = (den_vars, extra_vars)
+
+      def __call__(self, key, variables=None):
+        return call(den_vars if variables is None else variables,
+                    extra_vars, key)
+
+    return _Loaded()
+  os.makedirs(cache_dir, exist_ok=True)
+  size = aot.export_compiled(sampler, path)
+  LOGGER.info('AOT sampler exported to %s (%.1f MB)', path, size / 1e6)
+  return sampler
+
+
 def run_decode(
     diffusion: Diffusion,
     reward_fn: Callable,
@@ -149,6 +186,8 @@ def run_decode(
     sampler = diffusion.sampler(batch_size)
   else:
     raise ValueError(f'unknown algo {algo!r}')
+  sampler = _maybe_aot_cache(sampler, diffusion, algo, batch_size,
+                             sample_M)
 
   samples, value_preds, reward_preds = [], [], []
   for i in range(gen_batch_num):

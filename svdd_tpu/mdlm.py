@@ -23,6 +23,20 @@ Array = jnp.ndarray
 NEG_INFINITY = -1_000_000.0
 
 
+def _lane_update(x: Array, index: int, value: Array,
+                 add: bool = False) -> Array:
+  """x.at[..., index].set/add(value) as an iota-compare select.
+
+  The .at[] form lowers to a dynamic-update-slice that XLA keeps as a
+  standalone op (2x 0.56 ms/step on the guided-decode hot path,
+  latency-bound on the (B, L, 5) logits); the select fuses into the
+  surrounding elementwise chain and costs nothing.
+  """
+  lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+  value = jnp.asarray(value, x.dtype)
+  return jnp.where(lane == index, x + value if add else value, x)
+
+
 # ---------------------------------------------------------------------------
 # Categorical sampling
 # ---------------------------------------------------------------------------
@@ -59,7 +73,7 @@ def subs_parameterization(logits: Array, xt: Array, mask_index: int) -> Array:
   normalized log p(x0 | xt) with (a) p(mask) = 0 everywhere and
   (b) already-unmasked positions pinned to a one-hot at their token.
   """
-  logits = logits.at[..., mask_index].add(NEG_INFINITY)
+  logits = _lane_update(logits, mask_index, NEG_INFINITY, add=True)
   logits = logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
   vocab = logits.shape[-1]
   onehot_loglik = jnp.where(
@@ -218,7 +232,7 @@ def log_q_xs(log_p_x0: Array, move_chance_t: Array, move_chance_s: Array,
   move_chance_t = jnp.asarray(move_chance_t).reshape(())
   move_chance_s = jnp.asarray(move_chance_s).reshape(())
   log_qs = log_p_x0 + jnp.log(move_chance_t - move_chance_s)
-  return log_qs.at[..., mask_index].set(jnp.log(move_chance_s))
+  return _lane_update(log_qs, mask_index, jnp.log(move_chance_s))
 
 
 def get_score(log_p_x0: Array, x: Array, sigma: Array,

@@ -66,6 +66,27 @@ def test_aot_compiled_executable_roundtrip(tmp_path):
                                 np.asarray(want.samples))
 
 
+def test_aot_cache_in_run_decode(tmp_path, monkeypatch):
+  """SVDD_AOT_CACHE: first run_decode exports the artifact, second
+  loads it (no compile) and reproduces the run exactly."""
+  from svdd_tpu import decode, mdlm, rewards
+  from svdd_tpu.config import tiny_test_config
+  from svdd_tpu.diffusion import Diffusion
+
+  monkeypatch.setenv('SVDD_AOT_CACHE', str(tmp_path))
+  cfg = tiny_test_config('rna')
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  reward = rewards.synthetic_motif_oracle(cfg.model.length)
+  value_fn = lambda tok: reward(mdlm.transform_samples(tok))
+  kwargs = dict(algo='svdd_mc', value_fn=value_fn, batch_size=4,
+                sample_M=2, skip_best_of_n=True, task='rna')
+  first = decode.run_decode(model, reward, **kwargs)
+  arts = list(tmp_path.glob('*.svddc'))
+  assert len(arts) == 1 and arts[0].stat().st_size > 0
+  second = decode.run_decode(model, reward, **kwargs)
+  np.testing.assert_array_equal(first.samples, second.samples)
+
+
 def test_aot_export_fn_uncontrolled(tmp_path):
   """export_fn round-trips the plain (uncontrolled) sampler too."""
   cfg = tiny_test_config('rna')
