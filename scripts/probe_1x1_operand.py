@@ -110,10 +110,13 @@ def main():
             ap.pool_prologue_im2col_wlogits_lnc_pallas,
             k_taps=5, act='gelu_enformer', mask_tail=True,
             pad_out=False)
+        # weights as jit ARGUMENTS (CLAUDE.md: closed-over weights
+        # inline as HLO constants -> transport breakage + lets XLA
+        # constant-fold the operand feed being timed)
         fn = jax.jit(
-            lambda xx, rr, _m=mega: _m(xx, wb, sb, tb, residual=rr
-                                       )[:1, :1, :1])
-        dt = timeit(fn, xb, rb)
+            lambda xx, rr, ww, ss, tt, _m=mega:
+            _m(xx, ww, ss, tt, residual=rr)[:1, :1, :1])
+        dt = timeit(fn, xb, rb, wb, sb, tb)
         gb = (xb.size * 2 * 2
               + lb // 2 * N * 5 * cb * 2) / 1e9
         row.append(f'tile{cand}={dt*1e3:6.3f}ms({gb/dt:5.0f}GB/s)')

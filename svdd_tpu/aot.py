@@ -56,9 +56,18 @@ def _avals(tree: Any):
                                      jax.numpy.result_type(x)), tree)
 
 
+def _atomic_write(path: str | os.PathLike, data: bytes) -> None:
+  """Write via temp-file + rename so a killed export never leaves a
+  truncated artifact poisoning the cache (MAGIC would still match but
+  the payload would crash every later load)."""
+  tmp = f'{path}.tmp.{os.getpid()}'
+  with open(tmp, 'wb') as f:
+    f.write(data)
+  os.replace(tmp, path)
+
+
 def export_sampler(sampler: Any, path: str | os.PathLike,
-                   *, key: jax.Array | None = None,
-                   platforms: Sequence[str] | None = None) -> int:
+                   *, platforms: Sequence[str] | None = None) -> int:
   """Serialize a Diffusion sampler (any _jit_sampler product) to
   ``path``. Returns the artifact size in bytes.
 
@@ -67,18 +76,9 @@ def export_sampler(sampler: Any, path: str | os.PathLike,
   CPU. Cross-platform export works without owning the hardware —
   pass ('tpu',) on any machine.
   """
-  jitted = sampler.jitted_fn
-  den_vars, extra_vars = sampler.default_args
-  if key is None:
-    key = jax.random.key(0)
-  exp = jax_export.export(
-      jitted, platforms=None if platforms is None else list(platforms))(
-          _avals(den_vars), _avals(extra_vars), _avals(key))
-  blob = exp.serialize()
-  data = MAGIC + blob
-  with open(path, 'wb') as f:
-    f.write(data)
-  return len(data)
+  return export_fn(sampler.jitted_fn,
+                   sampler.default_args + (jax.random.key(0),), path,
+                   platforms=platforms)
 
 
 def export_fn(fn: Callable, args: tuple, path: str | os.PathLike,
@@ -91,8 +91,7 @@ def export_fn(fn: Callable, args: tuple, path: str | os.PathLike,
       fn, platforms=None if platforms is None else list(platforms))(
           *_avals(args))
   data = MAGIC + exp.serialize()
-  with open(path, 'wb') as f:
-    f.write(data)
+  _atomic_write(path, data)
   return len(data)
 
 
@@ -142,8 +141,7 @@ def export_compiled(sampler: Any, path: str | os.PathLike,
   n_dev = len(compiled.runtime_executable().local_devices())
   payload = pickle.dumps((n_dev,) + se.serialize(compiled))
   data = MAGIC_EXEC + payload
-  with open(path, 'wb') as f:
-    f.write(data)
+  _atomic_write(path, data)
   return len(data)
 
 

@@ -101,40 +101,60 @@ def _baseline(diffusion: Diffusion, reward_fn, batch_size: int,
 
 
 def _maybe_aot_cache(sampler, diffusion: Diffusion, algo: str,
-                     batch_size: int, sample_M: int):
+                     batch_size: int, sample_M: int,
+                     hyper: dict | None = None):
   """SVDD_AOT_CACHE=<dir>: serve the guided sampler from a compiled
-  XLA executable artifact (svdd_tpu.aot). First run compiles once and
-  exports; later processes load in seconds with NO compile. Keyed by
-  algo/shape/backend + a config hash; weights stay call arguments, so
-  new checkpoints reuse the artifact."""
+  XLA executable artifact (svdd_tpu.aot). First run compiles once,
+  exports, and serves from the artifact; later processes load in
+  seconds with NO compile. Keyed by algo/shape/backend + a hash of
+  (config, sampler hyperparameters, SVDD_* kernel flags,
+  jax version) — everything baked into the traced program. Denoiser
+  weights stay call arguments, so new diffusion checkpoints reuse the
+  artifact; value/reward weights do too when passed as
+  (apply_fn, variables) pairs (the CLI norm). A plain-closure
+  value_fn bakes its weights into the artifact as constants — warned
+  below, because a retrained net would silently be ignored on a
+  cache hit."""
   cache_dir = os.environ.get('SVDD_AOT_CACHE')
   if not cache_dir:
     return sampler
   import hashlib
 
   from svdd_tpu import aot
-  cfg_hash = hashlib.sha1(
-      repr(diffusion.config).encode()).hexdigest()[:10]
+  flags = {k: v for k, v in sorted(os.environ.items())
+           if k.startswith('SVDD_') and k != 'SVDD_AOT_CACHE'}
+  key_src = repr((repr(diffusion.config), hyper or {}, flags,
+                  jax.__version__))
+  cfg_hash = hashlib.sha1(key_src.encode()).hexdigest()[:10]
   name = (f'{algo}-b{batch_size}-m{sample_M}'
           f'-{jax.default_backend()}-{cfg_hash}.svddc')
   path = os.path.join(cache_dir, name)
   den_vars, extra_vars = sampler.default_args
-  if os.path.exists(path):
-    call = aot.load_compiled(path)
-    LOGGER.info('AOT sampler loaded from %s (no compile)', path)
+  if not jax.tree.leaves(extra_vars):
+    LOGGER.warning(
+        'SVDD_AOT_CACHE: value/reward fn is a plain closure — its '
+        'weights are baked into the artifact as constants and a '
+        'retrained net will NOT take effect on a cache hit. Pass '
+        '(apply_fn, variables) to keep weights as call arguments.')
+  if not os.path.exists(path):
+    os.makedirs(cache_dir, exist_ok=True)
+    size = aot.export_compiled(sampler, path)
+    LOGGER.info('AOT sampler exported to %s (%.1f MB)', path,
+                size / 1e6)
+  # serve from the artifact either way: an explicit lower().compile()
+  # does not seed the jit dispatch cache, so returning the live
+  # sampler after exporting would re-trace and re-compile on first use
+  call = aot.load_compiled(path)
+  LOGGER.info('AOT sampler loaded from %s (no compile)', path)
 
-    class _Loaded:
-      default_args = (den_vars, extra_vars)
+  class _Loaded:
+    default_args = (den_vars, extra_vars)
 
-      def __call__(self, key, variables=None):
-        return call(den_vars if variables is None else variables,
-                    extra_vars, key)
+    def __call__(self, key, variables=None):
+      return call(den_vars if variables is None else variables,
+                  extra_vars, key)
 
-    return _Loaded()
-  os.makedirs(cache_dir, exist_ok=True)
-  size = aot.export_compiled(sampler, path)
-  LOGGER.info('AOT sampler exported to %s (%.1f MB)', path, size / 1e6)
-  return sampler
+  return _Loaded()
 
 
 def run_decode(
@@ -186,8 +206,11 @@ def run_decode(
     sampler = diffusion.sampler(batch_size)
   else:
     raise ValueError(f'unknown algo {algo!r}')
-  sampler = _maybe_aot_cache(sampler, diffusion, algo, batch_size,
-                             sample_M)
+  sampler = _maybe_aot_cache(
+      sampler, diffusion, algo, batch_size, sample_M,
+      hyper=dict(alpha=alpha, guidance_scale=guidance_scale,
+                 tweedie=tweedie, task=task,
+                 saluki_final_length=saluki_final_length))
 
   samples, value_preds, reward_preds = [], [], []
   for i in range(gen_batch_num):

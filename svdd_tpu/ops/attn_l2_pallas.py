@@ -112,6 +112,18 @@ def _kernel(q_ref, k_ref, v_ref, bc_ref, bp_ref, r0_ref, r1_ref,
   w_ref[:] = w.reshape(tn, 2, -1)
 
 
+def _pick_tile_n(n: int, cap: int = 1280) -> int:
+  """Largest multiple-of-8 divisor of n up to ``cap`` (f32 blend temps
+  cap the block at ~60MB VMEM). Plain halving from the cap collapses
+  to tile 2 whenever n lacks a factor of 5 (e.g. N=512: 256 grid
+  blocks of 2 rows — bandwidth death); a divisor search doesn't."""
+  best = 0
+  for cand in range(8, cap + 1, 8):
+    if n % cand == 0:
+      best = cand
+  return best
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def attn_l2_pallas(q, k, v, bc, bp, relk, sel, exp,
                    interpret: bool = False):
@@ -122,9 +134,7 @@ def attn_l2_pallas(q, k, v, bc, bp, relk, sel, exp,
   dv = v.shape[-1]
   heads = sel.shape[-1]
   relk_j0, relk_j1 = _prep_relk(relk)
-  tile_n = 1280      # f32 blend temps cap the block at ~60MB VMEM
-  while n % tile_n:
-    tile_n //= 2
+  tile_n = _pick_tile_n(n)
   grid = (n // tile_n,)
   row = lambda c: pl.BlockSpec((1, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -243,9 +253,7 @@ def attn_l2_lnc_pallas(q, k, v, bc, bp, relk, sel, exp,
   dv = v.shape[-1]
   heads = sel.shape[-1]
   relk_j0, relk_j1 = _prep_relk(relk)
-  tile_n = 1280
-  while n % tile_n:
-    tile_n //= 2
+  tile_n = _pick_tile_n(n)
   grid = (n // tile_n,)
   row = lambda c: pl.BlockSpec((1, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -315,7 +323,7 @@ def attn_l2_lnc(q, k, v, bc, bp, relk, heads: int,
   if use_pallas is None:
     use_pallas = use_pallas_attn_l2()
   ok = (dqk % 128 == 0 and dv % 128 == 0
-        and q.shape[1] % 8 == 0)
+        and _pick_tile_n(q.shape[1]) > 0)
   if use_pallas and ok:
     return _lnc_core(q, k, v, bc, bp, relk, sel, exp, False)
   return attn_l2_lnc_reference(q, k, v, bc, bp, relk, sel, exp)
@@ -332,7 +340,8 @@ def attn_l2(q, k, v, bc, bp, relk, heads: int,
   exp = jnp.asarray(head_expander(heads, dv // heads), jnp.float32)
   if use_pallas is None:
     use_pallas = use_pallas_attn_l2()
-  ok = dqk % 128 == 0 and dv % 128 == 0
+  ok = (dqk % 128 == 0 and dv % 128 == 0
+        and _pick_tile_n(q.shape[0]) > 0)
   if use_pallas and ok:
     return _fused_core(q, k, v, bc, bp, relk, sel, exp, False)
   return attn_l2_reference(q, k, v, bc, bp, relk, sel, exp)
