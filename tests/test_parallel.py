@@ -263,6 +263,12 @@ def test_gpipe_matches_sequential_forward_and_grad():
     np.testing.assert_allclose(np.asarray(a), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 
+  # the backward must stay all-gather-free: stage-param grads live
+  # sharded on their stage; only the output/input psums (all-reduce)
+  # and the ppermute pair (fwd + transpose) are allowed
+  hlo = jax.jit(jax.grad(loss_pp)).lower(stacked).compile().as_text()
+  assert hlo.count('all-gather') == 0, 'gpipe backward all-gathers'
+
 
 def test_gpipe_dit_blocks():
   """Pipeline real DDiTBlocks (adaLN cond + rotary tables as broadcast
