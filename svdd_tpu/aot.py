@@ -23,6 +23,15 @@ Exported artifacts embed the target platform list (default: the
 exporting process's backend); loading on a different platform raises.
 Shape/dtype of every argument is pinned at export time — the loader
 validates on call, so a mismatched params tree fails loudly.
+
+Known limitation (jax 0.9.0): MESH-SHARDED samplers do not round-trip
+through jax.export — re-lowering the exported module trips an MLIR
+verifier error in both partitioners (shardy: "sharding doesn't match
+tensor rank: 0 != 1" on sdy.sharding_constraint; GSPMD: custom_call
+"should have a sharding attribute of type TensorShardingPerValueAttr").
+Export single-device samplers (the per-host serving case) until the
+upstream round-trip is fixed; sharded programs rely on the persistent
+compilation cache instead.
 """
 
 from __future__ import annotations
