@@ -9,6 +9,7 @@ over the 'data' mesh axis automatically.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 
 import jax
@@ -84,7 +85,9 @@ def _make_sample_eval_fn(cfg: Config, args, model):
     oracle.variables = load_pytree(args.eval_oracle_checkpoint_path,
                                    oracle.variables)
     apply_fn, ovars = oracle.as_pair()
-    oracle_fn = jax.jit(lambda oh: apply_fn(ovars, oh))
+    # weights as a jit ARGUMENT, not a closure (closed-over weights
+    # inline as HLO constants -> >20 min remote compiles)
+    oracle_fn = functools.partial(jax.jit(apply_fn), ovars)
   else:
     LOGGER.warning('sample-eval: no --eval_oracle_checkpoint_path, '
                    'using the synthetic motif oracle')

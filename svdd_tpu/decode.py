@@ -84,8 +84,11 @@ def _baseline(diffusion: Diffusion, reward_fn, batch_size: int,
   total = (gen_batch_num if skip_best_of_n
            else gen_batch_num * sample_M) * batch_size
   fold_cap = int(os.environ.get('SVDD_BASELINE_MAX_BATCH', '4096'))
-  big = min(total, max(batch_size, fold_cap // batch_size * batch_size))
-  n_calls = (total + big - 1) // big
+  # balance the fold: a fixed cap-sized fold over-generated up to
+  # big-1 wasted rows on the last call (flagship shape: total=5120,
+  # cap 4096 -> 2x4096 = 60% waste); ceil-split wastes < n_calls rows
+  n_calls = max(1, -(-total // fold_cap))
+  big = -(-total // n_calls)
   sampler = diffusion.sampler(big)
   all_preds = []
   for i in range(n_calls):
@@ -130,7 +133,7 @@ def _maybe_aot_cache(sampler, diffusion: Diffusion, algo: str,
           f'-{jax.default_backend()}-{cfg_hash}.svddc')
   path = os.path.join(cache_dir, name)
   den_vars, extra_vars = sampler.default_args
-  if not jax.tree.leaves(extra_vars):
+  if algo != 'none' and not jax.tree.leaves(extra_vars):
     LOGGER.warning(
         'SVDD_AOT_CACHE: value/reward fn is a plain closure — its '
         'weights are baked into the artifact as constants and a '
@@ -206,11 +209,21 @@ def run_decode(
     sampler = diffusion.sampler(batch_size)
   else:
     raise ValueError(f'unknown algo {algo!r}')
+  # saluki_body's VALUES are baked into the traced program as
+  # constants, so they must key the artifact too (sha1: python hash()
+  # is salted per-process and would never hit the cache)
+  if saluki_body is None:
+    saluki_sig = None
+  else:
+    import hashlib
+    saluki_sig = hashlib.sha1(
+        np.asarray(saluki_body, np.float32).tobytes()).hexdigest()[:10]
   sampler = _maybe_aot_cache(
       sampler, diffusion, algo, batch_size, sample_M,
       hyper=dict(alpha=alpha, guidance_scale=guidance_scale,
                  tweedie=tweedie, task=task,
-                 saluki_final_length=saluki_final_length))
+                 saluki_final_length=saluki_final_length,
+                 saluki_sig=saluki_sig))
 
   samples, value_preds, reward_preds = [], [], []
   for i in range(gen_batch_num):

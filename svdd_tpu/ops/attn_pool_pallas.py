@@ -139,18 +139,14 @@ def pool_prologue_im2col_reference(x: Array, logits: Array,
                                    scale: Array, shift: Array,
                                    k_taps: int, act: str | None
                                    ) -> Array:
-  pooled = attn_pool_reference(x, logits)
-  xg = _act(act, pooled.astype(jnp.float32) * scale + shift
-            ).astype(x.dtype)
-  n, lh, c = xg.shape
-  slabs = []
-  for off in _live_offsets(k_taps, lh):
-    if off >= 0:
-      seg = jnp.pad(xg[:, off:, :], ((0, 0), (0, off), (0, 0)))
-    else:
-      seg = jnp.pad(xg[:, :lh + off, :], ((0, 0), (-off, 0), (0, 0)))
-    slabs.append(seg)
-  return jnp.concatenate(slabs, axis=-1)
+  # compose the two single-purpose references: affine+act+slab
+  # stacking lives in ONE place (im2col_pallas.nacdr_im2col_reference).
+  # The pooled values stay f32 through the affine (kernel semantics);
+  # the trailing cast is elementwise so post-concat == post-act.
+  from svdd_tpu.ops.im2col_pallas import nacdr_im2col_reference
+  return nacdr_im2col_reference(
+      attn_pool_reference(x, logits), scale, shift, k_taps,
+      act).astype(x.dtype)
 
 
 def _mega_kernel(x_ref, l_ref, s_ref, t_ref, o_ref, *, offsets, act):
@@ -477,18 +473,10 @@ def pool_prologue_im2col_wlogits_reference(
     x: Array, w: Array, scale: Array, shift: Array, k_taps: int,
     act: str | None, mask_tail: bool,
     residual: Array | None = None) -> Array:
-  pooled = attn_pool_wlogits_reference(x, w, mask_tail, residual)
-  xg = _act(act, pooled.astype(jnp.float32) * scale + shift
-            ).astype(x.dtype)
-  n, lh, c = xg.shape
-  slabs = []
-  for off in _live_offsets(k_taps, lh):
-    if off >= 0:
-      seg = jnp.pad(xg[:, off:, :], ((0, 0), (0, off), (0, 0)))
-    else:
-      seg = jnp.pad(xg[:, :lh + off, :], ((0, 0), (-off, 0), (0, 0)))
-    slabs.append(seg)
-  return jnp.concatenate(slabs, axis=-1)
+  from svdd_tpu.ops.im2col_pallas import nacdr_im2col_reference
+  return nacdr_im2col_reference(
+      attn_pool_wlogits_reference(x, w, mask_tail, residual),
+      scale, shift, k_taps, act).astype(x.dtype)
 
 
 def _wl_mega_kernel(x_ref, *rest, offsets, act, mask_tail,

@@ -50,8 +50,9 @@ def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
       pad = ((0, 0), (-off, 0), (0, 0))
     return jnp.pad(seg, pad) if off else arr
 
-  live = [k for k in range(k_taps)
-          if -l < k * dilation - half < l]
+  from svdd_tpu.ops.kernel_utils import live_offsets
+  live = [(off + half) // dilation
+          for off in live_offsets(k_taps, l, dilation)]
   if not live:
     out = jnp.zeros(x.shape[:-1] + (c_out,), x.dtype)
     return out + bias if bias is not None else out
@@ -101,8 +102,9 @@ def conv1d_shifted_lnc(x: Array, kernel: Array,
       return jnp.pad(arr[:l + off], ((-off, 0), (0, 0), (0, 0)))
     return arr
 
-  live = [k for k in range(k_taps)
-          if -l < k * dilation - half < l]
+  from svdd_tpu.ops.kernel_utils import live_offsets
+  live = [(off + half) // dilation
+          for off in live_offsets(k_taps, l, dilation)]
   if not live:
     out = jnp.zeros(x.shape[:-1] + (c_out,), x.dtype)
     return out + bias if bias is not None else out
@@ -147,6 +149,7 @@ class Conv1D(nn.Module):
       # pre-built im2col buffer (the deferred-pool mega kernel,
       # ops/attn_pool_pallas.pool_prologue_im2col): ONE stacked matmul
       dtype = self.dtype or precols.dtype
+      from svdd_tpu.ops.kernel_utils import live_offsets
       half = (self.kernel_size - 1) // 2 * self.dilation
       if precols_len is not None:
         # LNC cols: the length dim is LEADING (and may carry a pad
@@ -155,8 +158,12 @@ class Conv1D(nn.Module):
         l = precols_len
       else:
         l = precols.shape[1]
-      live = [k for k in range(self.kernel_size)
-              if -l < k * self.dilation - half < l]
+      # the tap contract with the im2col producers lives in ONE place
+      # (kernel_utils.live_offsets) so the stacked-weight column order
+      # can never desynchronize from the producers' slab order
+      live = [(off + half) // self.dilation
+              for off in live_offsets(self.kernel_size, l,
+                                      self.dilation)]
       c_in = precols.shape[-1] // len(live)
       kernel = self.param(
           'kernel', nn.initializers.lecun_normal(),
