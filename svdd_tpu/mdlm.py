@@ -245,12 +245,13 @@ def get_score(log_p_x0: Array, x: Array, sigma: Array,
   vocab = log_p_x0.shape[-1]
 
   masked_score = log_p_x0 + log_k[:, None, None]
-  masked_score = masked_score.at[..., mask_index].set(0.0)
+  masked_score = _lane_update(masked_score, mask_index, 0.0)
 
   onehot = jax.nn.one_hot(x, vocab, dtype=jnp.bool_)
   unmasked_score = jnp.where(onehot, 0.0, NEG_INFINITY)
-  unmasked_score = unmasked_score.at[..., mask_index].set(
-      -log_k[:, None] * jnp.ones_like(x, jnp.float32))
+  unmasked_score = _lane_update(
+      unmasked_score, mask_index,
+      (-log_k[:, None] * jnp.ones_like(x, jnp.float32))[..., None])
 
   masked = (x == mask_index)[..., None]
   return jnp.exp(jnp.where(masked, masked_score, unmasked_score))
@@ -262,7 +263,8 @@ def staggered_score(score: Array, dsigma: Array, mask_index: int) -> Array:
     dsigma = dsigma[:, None]
   extra_const = (1 - jnp.exp(dsigma)) * score.sum(axis=-1)   # (B, L)
   score = score * jnp.exp(dsigma)[..., None]
-  return score.at[..., mask_index].add(extra_const)
+  return _lane_update(score, mask_index, extra_const[..., None],
+                      add=True)
 
 
 def transp_transition(i: Array, sigma: Array, vocab_size: int,
