@@ -307,3 +307,34 @@ def test_motif_discovery_recovers_planted_motif(tmp_path):
   report = json.loads((tmp_path / 'report.json').read_text())
   assert report[0]['consensus'] == motif
   assert (tmp_path / 'motifs.meme').read_text().startswith('MEME')
+
+
+def test_baseline_fold_minimal_waste():
+  """_baseline ceil-splits total across sampler calls: the old fixed
+  cap-sized fold decoded 8192 rows for 5120 needed (60% waste at the
+  flagship shape). Pin call count x call size."""
+  import jax
+  import numpy as np
+  from svdd_tpu import decode
+
+  calls = []
+
+  class FakeDiffusion:
+    def sampler(self, big):
+      calls.append(big)
+
+      class R:
+        samples = np.zeros((big, 8), np.int32)
+
+      return lambda key: R()
+
+  reward = lambda onehot: np.zeros(onehot.shape[0], np.float32)
+  baseline, top_k = decode._baseline(
+      FakeDiffusion(), reward, batch_size=512, gen_batch_num=1,
+      sample_M=10, key=jax.random.key(0))
+  # total=5120, cap 4096 -> 2 calls of 2560 (was 2x4096)
+  assert calls == [2560], calls
+  total_decoded = sum(calls) * 2
+  assert total_decoded == 5120
+  assert baseline.shape == (512,)
+  assert top_k.shape == (512,)
