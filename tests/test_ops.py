@@ -619,3 +619,40 @@ def test_attn_l2_lnc_matches_reference():
   for a, b in zip(got, want):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_wlogits_lnc_property_sweep():
+  """Randomized shape sweep of the LNC w-logits kernels (interpret
+  mode) vs the jnp reference: odd/even pooled lengths, residual
+  on/off, pad_out on/off, several channel widths — the edge lattice
+  the fixed-shape tests sample only pointwise."""
+  import itertools
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from svdd_tpu.ops import attn_pool_pallas as ap
+
+  key = jax.random.key(0)
+  n = 16
+  cases = itertools.product((4, 6, 10), (128, 256), (False, True),
+                            (False, True))
+  for i, (l, c, has_res, pad_out) in enumerate(cases):
+    k = jax.random.fold_in(key, i)
+    x = jax.random.normal(k, (l, n, c), jnp.float32)
+    res = (jax.random.normal(jax.random.fold_in(k, 1), (l, n, c))
+           if has_res else None)
+    w = 0.1 * jax.random.normal(jax.random.fold_in(k, 2), (c, c))
+    scale = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 3),
+                                          (c,))
+    shift = 0.1 * jax.random.normal(jax.random.fold_in(k, 4), (c,))
+    mask_tail = bool(i % 2)
+    want = ap.pool_prologue_im2col_wlogits_lnc_reference(
+        x, w, scale, shift, 5, 'gelu_enformer', mask_tail,
+        residual=res, pad_out=pad_out)
+    got = ap.pool_prologue_im2col_wlogits_lnc_pallas(
+        x, w, scale, shift, 5, 'gelu_enformer', mask_tail,
+        residual=res, pad_out=pad_out, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
+        err_msg=f'l={l} c={c} res={has_res} pad_out={pad_out} '
+                f'mask_tail={mask_tail}')
