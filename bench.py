@@ -190,7 +190,20 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
   T0 = time.perf_counter()
-  n_chips = jax.device_count()
+  # the axon pool can be transiently UNAVAILABLE (observed: claim
+  # hangs or init raises); retry backend init for a bounded window so
+  # one flap doesn't lose the whole bench run
+  retries = int(os.environ.get('SVDD_BENCH_CLAIM_RETRIES', '5'))
+  for attempt in range(retries + 1):
+    try:
+      n_chips = jax.device_count()
+      break
+    except RuntimeError as e:
+      if attempt == retries:
+        raise
+      phase(f'backend init failed ({e}); retry {attempt + 1}/{retries}'
+            ' in 60s')
+      time.sleep(60)
   phase(f'devices: {jax.devices()}')
 
   import numpy as np
