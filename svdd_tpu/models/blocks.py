@@ -25,6 +25,62 @@ from svdd_tpu.ops.conv1d import Conv1D
 Array = jnp.ndarray
 
 
+class FastLayerNorm(nn.LayerNorm):
+  """nn.LayerNorm whose elementwise apply runs in the input dtype.
+
+  flax's LayerNorm promotes the whole normalize chain to f32 and casts
+  only the final result (normalization._normalize), so under a bf16
+  trunk the sub/mul/mul/add ops fuse into the following dot's operand
+  read as f32 work — measured to throttle the MXU ~11% on the 1x1-conv
+  dots (scripts/probe_1x1_operand.py, TODO.md r2-late). Here the
+  mean/rsqrt stats stay f32, but mean/rstd/scale/bias are cast to the
+  input dtype BEFORE the apply, so the chain XLA fuses into the qkv /
+  FFN dot operands is all-bf16. Param tree ('scale'/'bias') and the
+  f32 input path are identical to nn.LayerNorm; only bf16 inputs with
+  the default last-axis reduction take the fast path.
+  """
+
+  @nn.compact
+  def __call__(self, x, *, mask=None):
+    assert (mask is None and self.reduction_axes == -1
+            and self.feature_axes == -1 and self.axis_name is None), (
+        'FastLayerNorm only supports the default last-axis config')
+    features = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    if self.use_fast_variance:
+      var = jnp.maximum(
+          jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+          - jnp.square(mean), 0.0)
+    else:
+      var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + self.epsilon)
+    scale = (self.param('scale', self.scale_init, (features,),
+                        self.param_dtype)
+             if self.use_scale else None)
+    bias = (self.param('bias', self.bias_init, (features,),
+                       self.param_dtype)
+            if self.use_bias else None)
+    if x.dtype == jnp.bfloat16:
+      # bf16 apply: all ops XLA fuses into the next dot's operand
+      # read are bf16 (stats above stay f32)
+      y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+      if scale is not None:
+        y = y * scale.astype(x.dtype)
+      if bias is not None:
+        y = y + bias.astype(x.dtype)
+      return y
+    # f32/other dtypes: flax's exact op order (normalization._normalize)
+    y = x32 - mean
+    mul = rstd
+    if scale is not None:
+      mul = mul * scale.astype(jnp.float32)
+    y = y * mul
+    if bias is not None:
+      y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 class PendingBias(NamedTuple):
   """A conv output whose channel bias has NOT been added yet.
 
@@ -103,7 +159,8 @@ class Norm(nn.Module):
     if self.func is None:
       return x
     if self.func == 'layer':
-      return nn.LayerNorm(epsilon=self.epsilon, dtype=x.dtype)(x)
+      return FastLayerNorm(epsilon=self.epsilon, dtype=x.dtype,
+                           name='LayerNorm_0')(x)
     if self.func == 'batch':
       return nn.BatchNorm(
           use_running_average=not train, momentum=self.momentum,

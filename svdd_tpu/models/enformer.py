@@ -234,8 +234,10 @@ class EnformerTransformerBlock(nn.Module):
   def __call__(self, x: Array, train: bool = False,
                lnc: bool = False) -> Array:
     skip = x
-    # epsilon 1e-5 matches torch.nn.LayerNorm for checkpoint parity
-    x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
+    # epsilon 1e-5 matches torch.nn.LayerNorm for checkpoint parity;
+    # FastLayerNorm keeps the qkv-dot operand chain bf16 (blocks.py)
+    x = blocks.FastLayerNorm(epsilon=1e-5, dtype=x.dtype,
+                             name='LayerNorm_0')(x)
     x = EnformerAttention(
         dim=self.in_len, heads=self.n_heads, dim_key=self.key_len,
         dim_value=self.in_len // self.n_heads,

@@ -106,3 +106,35 @@ def test_ema_update():
   st2 = ema.init(params, decay=0.5, use_num_updates=False)
   st2 = ema.update(st2, new_params)
   np.testing.assert_allclose(np.asarray(st2.shadow['w']), 0.5)
+
+
+def test_fast_layer_norm_matches_flax():
+  """FastLayerNorm: bit-identical to nn.LayerNorm on f32 inputs
+  (flax op order preserved); close on bf16 (the bf16 apply is the
+  whole point — see models/blocks.py docstring)."""
+  import flax.linen as nn
+  from svdd_tpu.models.blocks import FastLayerNorm
+
+  x = jax.random.normal(jax.random.key(3), (4, 6, 256), jnp.float32)
+  ref = nn.LayerNorm(epsilon=1e-5)
+  fast = FastLayerNorm(epsilon=1e-5)
+  v = ref.init(jax.random.key(0), x)
+  # non-trivial scale/bias so the apply order matters
+  v = jax.tree_util.tree_map(
+      lambda t: t + jax.random.normal(jax.random.key(1), t.shape) * 0.3,
+      v)
+  np.testing.assert_array_equal(np.asarray(ref.apply(v, x)),
+                                np.asarray(fast.apply(v, x)))
+
+  xb = x.astype(jnp.bfloat16)
+  refb = nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16)
+  fastb = FastLayerNorm(epsilon=1e-5, dtype=jnp.bfloat16)
+  a = np.asarray(refb.apply(v, xb), np.float32)
+  b = np.asarray(fastb.apply(v, xb), np.float32)
+  assert b.dtype == np.float32 and fastb.apply(v, xb).dtype == jnp.bfloat16
+  np.testing.assert_allclose(a, b, atol=0.05, rtol=0.05)
+
+  # grads flow through both params
+  g = jax.grad(lambda v_, x_: fastb.apply(v_, x_)
+               .astype(jnp.float32).sum())(v, xb)
+  assert float(jnp.abs(g['params']['scale']).sum()) > 0.0
