@@ -28,7 +28,8 @@ def reward_apply(variables, onehot):
   return vm.apply(variables, onehot)
 
 
-s = model.tweedie_sampler((reward_apply, vv), 256, sample_M=10,
+B = int(os.environ.get('PM_B', '512'))
+s = model.tweedie_sampler((reward_apply, vv), B, sample_M=10,
                           num_steps=16)
 np.asarray(s(jax.random.key(0)).samples)   # compile + warm
 print('warm, tracing...', flush=True)
