@@ -44,6 +44,11 @@ from jax import export as jax_export
 
 MAGIC = b'SVDDX001'
 
+# Bump whenever the traced sampler PROGRAMS change (new fusion, reuse
+# path, kernel swap, ...): it salts the decode AOT-cache key so stale
+# artifacts from older program versions are never served.
+PROGRAM_REV = 2
+
 # Pytree node types appearing in sampler signatures must be registered
 # for serialization (jax.export pins arg/result treedefs in the
 # artifact). Serialized names are stable identifiers — do not rename.

@@ -127,7 +127,7 @@ def _maybe_aot_cache(sampler, diffusion: Diffusion, algo: str,
   flags = {k: v for k, v in sorted(os.environ.items())
            if k.startswith('SVDD_') and k != 'SVDD_AOT_CACHE'}
   key_src = repr((repr(diffusion.config), hyper or {}, flags,
-                  jax.__version__))
+                  jax.__version__, aot.PROGRAM_REV))
   cfg_hash = hashlib.sha1(key_src.encode()).hexdigest()[:10]
   name = (f'{algo}-b{batch_size}-m{sample_M}'
           f'-{jax.default_backend()}-{cfg_hash}.svddc')

@@ -251,7 +251,8 @@ class Diffusion:
 
   def _jit_sampler(self, build_step, batch_size, num_steps, eps,
                    variables=None, extra_vars=(), mesh=None,
-                   collect_mid=False, collect_aux=False, tp=False):
+                   collect_mid=False, collect_aux=False, tp=False,
+                   removal_from_aux=False):
     """build_step(denoise, extra_vars) -> (step_fn, aux_init),
     called inside the traced function so every captured array is a
     traced jit argument.
@@ -280,6 +281,7 @@ class Diffusion:
       fn = S.reverse_process(
           step_fn, denoise, self.schedule,
           collect_mid=collect_mid, collect_aux=collect_aux,
+          removal_from_aux=removal_from_aux,
           aux_init=aux_init, shard_constraint=shard, **base)
       return fn(key)
 
@@ -393,44 +395,72 @@ class Diffusion:
                              variables=variables, extra_vars=val_vars,
                              mesh=mesh)
 
+  def _posterior_aux_init(self, denoise, batch_size):
+    """(log_p, valid=False) carry for the carry_posterior reuse paths —
+    shape/dtype derived from the actual denoiser forward so the
+    lax.cond branches in _cached_or_fresh match exactly."""
+    shp = jax.eval_shape(
+        denoise, jnp.zeros((batch_size, self.config.model.length),
+                           jnp.int32), jnp.zeros((batch_size,)))
+    return (jnp.zeros(shp.shape, shp.dtype), jnp.asarray(False))
+
   def tweedie_sampler(self, reward_fn, batch_size: int, *,
                       sample_M: int = 10, tweedie: bool = True,
                       task: str = 'dna', saluki_body=None,
                       saluki_final_length: int = 12288,
                       num_steps: int | None = None, eps: float = 1e-5,
-                      variables: Any | None = None, mesh: Any = None):
+                      variables: Any | None = None, mesh: Any = None,
+                      reuse_posterior: bool = True):
     """SVDD-PM (controlled_sample_tweedie, diffusion_gosai.py:1106-1145).
     ``task='rna_saluki'`` routes scoring through the saluki input
-    builder (:1426-1428)."""
+    builder (:1426-1428).
+
+    ``reuse_posterior`` (tweedie only; default on): carry the winner's
+    candidate forward across steps and into noise removal, dropping the
+    per-step (B,) denoiser forward AND the final removal forward —
+    mathematically exact (guidance._cached_or_fresh)."""
     apply_fn, rew_vars = self._hoist(reward_fn)
+    reuse = reuse_posterior and tweedie
 
     def build(denoise, den_vars, rew_vars, shard_flat=None):
       rfn = lambda onehot: apply_fn(rew_vars, onehot)
+      aux_init = (self._posterior_aux_init(denoise, batch_size)
+                  if reuse else ())
       return G.svdd_pm_step(denoise, rfn, self.schedule,
                             self.mask_index, repeats=sample_M,
                             tweedie=tweedie, task=task,
                             saluki_body=saluki_body,
                             saluki_final_length=saluki_final_length,
-                            shard_flat=shard_flat), ()
+                            shard_flat=shard_flat,
+                            carry_posterior=reuse), aux_init
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=rew_vars,
-                             mesh=mesh)
+                             mesh=mesh, removal_from_aux=reuse)
 
   def tds_sampler(self, reward_fn, batch_size: int, *, alpha: float = 1.0,
                   num_steps: int | None = None, eps: float = 1e-5,
-                  variables: Any | None = None, mesh: Any = None):
-    """TDS SMC baseline (controlled_sample_TDS, diffusion_gosai.py:938-978)."""
+                  variables: Any | None = None, mesh: Any = None,
+                  reuse_posterior: bool = True):
+    """TDS SMC baseline (controlled_sample_TDS, diffusion_gosai.py:938-978).
+
+    ``reuse_posterior`` (default on): carry the resampled particles'
+    reward_num forward across steps — one of the three per-step
+    denoiser forwards and the removal forward drop out, exactly."""
     apply_fn, rew_vars = self._hoist(reward_fn)
 
     def build(denoise, den_vars, rew_vars, shard_flat=None):
       rfn = lambda onehot: apply_fn(rew_vars, onehot)
+      aux_init = (self._posterior_aux_init(denoise, batch_size)
+                  if reuse_posterior else ())
       return G.tds_step(denoise, rfn, self.schedule, self.mask_index,
-                        alpha=alpha), ()
+                        alpha=alpha,
+                        carry_posterior=reuse_posterior), aux_init
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=rew_vars,
-                             mesh=mesh)
+                             mesh=mesh,
+                             removal_from_aux=reuse_posterior)
 
   def dps_sampler(self, reward_fn, batch_size: int, *,
                   guidance_scale: float = 1.0,

@@ -132,16 +132,35 @@ def svdd_mc_step_timed(denoise_fn: DenoiseFn, value_fn_timed,
   return step
 
 
-def _tweedie_posterior_onehot(denoise_fn: DenoiseFn, samples: Array,
-                              sigma_s: Array, mask_index: int) -> Array:
+def _posterior_onehot(log_p: Array, samples: Array,
+                      mask_index: int) -> Array:
   """r(E[x0|x]) input: argmax of the denoiser posterior at still-masked
   positions, actual tokens elsewhere (diffusion_gosai.py:1414-1419)."""
-  log_p = denoise_fn(samples, sigma_s)
   posterior_arg = jnp.argmax(log_p, axis=-1)               # never MASK
   posterior_oh = jax.nn.one_hot(posterior_arg, 4)
   copy = (samples != mask_index)[..., None]
   actual_oh = jax.nn.one_hot(jnp.clip(samples, 0, 3), 4)
   return jnp.where(copy, actual_oh, posterior_oh)
+
+
+def _tweedie_posterior_onehot(denoise_fn: DenoiseFn, samples: Array,
+                              sigma_s: Array, mask_index: int) -> Array:
+  return _posterior_onehot(denoise_fn(samples, sigma_s), samples,
+                           mask_index)
+
+
+def _cached_or_fresh(denoise_fn: DenoiseFn, aux, x: Array,
+                     sigma_t: Array):
+  """First-step-only denoiser forward: ``aux = (log_p, valid)`` carries
+  the previous step's candidate forward for the selected winner, which
+  equals ``denoise_fn(x, sigma_t)`` exactly (this step's sigma_t IS the
+  previous step's sigma_s) — the ddpm_cache reuse trick
+  (diffusion_gosai.py:755-773) applied across guided steps. The fresh
+  branch only ever executes on step 0 (valid=False)."""
+  log_p_cache, valid = aux
+  return jax.lax.cond(
+      valid, lambda: log_p_cache,
+      lambda: denoise_fn(x, jnp.full((x.shape[0],), sigma_t)))
 
 
 def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
@@ -150,7 +169,8 @@ def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
                  task: str = 'dna',
                  saluki_body=None,
                  saluki_final_length: int = 12288,
-                 shard_flat=None) -> StepFn:
+                 shard_flat=None,
+                 carry_posterior: bool = False) -> StepFn:
   """SVDD-PM: M candidates -> posterior-mean (Tweedie) reward -> select
   (_ddpm_update_finetune_controlled_twedie, diffusion_gosai.py:1374-1460).
 
@@ -159,21 +179,30 @@ def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
   saluki input builder instead (:1426-1428).
   Per step: 1 denoiser fwd on (B,) + 1 denoiser fwd + 1 reward fwd on
   (B*M,) — vs the reference's (1 + 2M) sequential forwards.
+
+  ``carry_posterior`` (tweedie only): the candidate forward at sigma_s
+  already computed the WINNER's next-step log_p — carry it in aux
+  ``(log_p, valid)`` and skip the per-step (B,) denoiser forward
+  entirely (exact reuse; see _cached_or_fresh). The final carry also
+  equals the noise-removal forward (reverse_process removal_from_aux).
   """
+  carry_posterior = carry_posterior and tweedie
 
   def step(aux, x, t, t_next, key):
     b, l = x.shape
     sigma_t, sigma_s, mct, mcs = _move_chances(schedule, t, t_next)
-    log_p = denoise_fn(x, jnp.full((b,), sigma_t))
+    if carry_posterior:
+      log_p = _cached_or_fresh(denoise_fn, aux, x, sigma_t)
+    else:
+      log_p = denoise_fn(x, jnp.full((b,), sigma_t))
     log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
     candidates = _draw_candidates(key, log_q, x, mask_index, repeats)
     flat = candidates.reshape(b * repeats, l)
     if shard_flat is not None:
       flat = shard_flat(flat)
     if tweedie:
-      onehot = _tweedie_posterior_onehot(
-          denoise_fn, flat, jnp.full((b * repeats,), sigma_s),
-          mask_index)
+      log_p_cand = denoise_fn(flat, jnp.full((b * repeats,), sigma_s))
+      onehot = _posterior_onehot(log_p_cand, flat, mask_index)
     else:
       onehot = mdlm.transform_samples(flat)                # mask rows -> 0
     if task == 'rna_saluki':
@@ -184,14 +213,23 @@ def svdd_pm_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
       onehot = mdlm.transform_samples_saluki(
           toks, saluki_body, final_length=saluki_final_length)
     scores = reward_fn(onehot).reshape(b, repeats)
-    return aux, _select_best(candidates, scores)
+    if not carry_posterior:
+      return aux, _select_best(candidates, scores)
+    idx = jnp.argmax(scores, axis=1)                        # (B,)
+    winner = jnp.take_along_axis(candidates, idx[:, None, None],
+                                 axis=1)[:, 0]
+    picked = jnp.take_along_axis(
+        log_p_cand.reshape(b, repeats, l, log_p_cand.shape[-1]),
+        idx[:, None, None, None], axis=1)[:, 0]
+    return (picked, jnp.asarray(True)), winner
 
   return step
 
 
 def tds_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
              schedule: Schedule, mask_index: int,
-             alpha: float = 1.0) -> StepFn:
+             alpha: float = 1.0,
+             carry_posterior: bool = False) -> StepFn:
   """TDS: SMC with Tweedie importance weights + systematic resampling
   (_ddpm_update_finetune_controlled_TDS, diffusion_gosai.py:1231-1284).
 
@@ -199,6 +237,11 @@ def tds_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
   resampling is an in-scan jax.random.choice — no device sync.
   NB the reference evaluates BOTH v_{t-1}(x_{t-1}) and v_t(x_t) at
   sigma_s (:1267, :1275); preserved.
+
+  ``carry_posterior``: the reward_num forward at sigma_s already
+  computed next step's log_p for every particle — carry the resampled
+  rows in aux ``(log_p, valid)`` and drop one of the three per-step
+  denoiser forwards (exact reuse; see _cached_or_fresh).
   """
 
   def step(aux, x, t, t_next, key):
@@ -206,19 +249,25 @@ def tds_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
     k_draw, k_resample = jax.random.split(key)
     sigma_t, sigma_s, mct, mcs = _move_chances(schedule, t, t_next)
     sigma_s_b = jnp.full((b,), sigma_s)
-    log_p = denoise_fn(x, jnp.full((b,), sigma_t))
+    if carry_posterior:
+      log_p = _cached_or_fresh(denoise_fn, aux, x, sigma_t)
+    else:
+      log_p = denoise_fn(x, jnp.full((b,), sigma_t))
     log_q = mdlm.log_q_xs(log_p, mct, mcs, mask_index)
     draw = mdlm.sample_categorical(k_draw, log_q)
     sample = jnp.where(x != mask_index, x, draw)
 
-    reward_num = reward_fn(_tweedie_posterior_onehot(
-        denoise_fn, sample, sigma_s_b, mask_index))
+    log_p_sample = denoise_fn(sample, sigma_s_b)
+    reward_num = reward_fn(
+        _posterior_onehot(log_p_sample, sample, mask_index))
     reward_den = reward_fn(_tweedie_posterior_onehot(
         denoise_fn, x, sigma_s_b, mask_index))
 
     ratio = jnp.exp((reward_num - reward_den) / alpha)
     idx = jax.random.choice(k_resample, b, shape=(b,),
                             p=ratio / ratio.sum())
+    if carry_posterior:
+      return (log_p_sample[idx], jnp.asarray(True)), sample[idx]
     return aux, sample[idx]
 
   return step

@@ -146,6 +146,7 @@ def reverse_process(
     eps: float = 1e-5,
     noise_removal: bool = True,
     analytic_removal: bool = False,
+    removal_from_aux: bool = False,
     collect_mid: bool = False,
     collect_aux: bool = False,
     aux_init: Any = (),
@@ -186,6 +187,12 @@ def reverse_process(
       if analytic_removal:
         x = denoiser_final(denoise_fn, schedule, mask_index,
                            vocab_size, x, t_last, final_key)
+      elif removal_from_aux:
+        # aux[0] carries denoise_fn(x, sigma(t_last)) exactly (the
+        # guided step's carry_posterior contract) — argmax it directly
+        # instead of re-running the removal forward
+        # (diffusion_gosai.py:1049-1060 semantics preserved).
+        x = jnp.argmax(aux[0][..., :-1], axis=-1)
       else:
         x = argmax_noise_removal(denoise_fn, schedule, x, t_last)
 

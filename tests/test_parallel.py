@@ -180,6 +180,30 @@ def test_candidate_sharded_decode_matches_unsharded():
   np.testing.assert_array_equal(got, want)
 
 
+def test_candidate_sharded_pm_decode_matches_unsharded():
+  """SVDD-PM under the mesh: the carried winner log_p gather (the
+  reuse_posterior path) must compile with candidate sharding and
+  reproduce single-device tokens exactly."""
+  from svdd_tpu.models.enformer import EnformerValueModel
+  cfg = tiny_test_config('dna')
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  vm = EnformerValueModel(n_tasks=1, n_conv=3, channels=256,
+                          n_transformers=2, n_heads=2, key_len=8)
+  vv = jax.jit(vm.init)(jax.random.key(5),
+                        jnp.zeros((1, cfg.model.length, 4)))
+  reward = (lambda variables, onehot: vm.apply(variables, onehot), vv)
+
+  ref = model.tweedie_sampler(reward, 8, sample_M=2, num_steps=4)
+  want = np.asarray(ref(jax.random.key(4)).samples)
+
+  mesh = M.make_mesh(data=4, model=2)
+  sh = model.tweedie_sampler(reward, 8, sample_M=2, num_steps=4,
+                             mesh=mesh)
+  with mesh:
+    got = np.asarray(sh(jax.random.key(4)).samples)
+  np.testing.assert_array_equal(got, want)
+
+
 def test_batch_sharding_layout():
   mesh = M.make_mesh()
   batch = {'seqs': jnp.zeros((16, 8), jnp.int32)}

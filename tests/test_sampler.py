@@ -92,6 +92,30 @@ def test_svdd_pm_lifts_reward(model, reward_fn):
   assert np.median(r_guided) > np.median(r_base)
 
 
+def test_svdd_pm_posterior_reuse_exact(model, reward_fn):
+  """reuse_posterior carries the winner's candidate forward across
+  steps (and into noise removal) instead of recomputing it — the
+  trajectories must be IDENTICAL (the reuse is exact math, not an
+  approximation)."""
+  fast = model.tweedie_sampler(reward_fn, B, sample_M=M, tweedie=True,
+                               reuse_posterior=True)
+  slow = model.tweedie_sampler(reward_fn, B, sample_M=M, tweedie=True,
+                               reuse_posterior=False)
+  np.testing.assert_array_equal(
+      np.asarray(fast(jax.random.key(21)).samples),
+      np.asarray(slow(jax.random.key(21)).samples))
+
+
+def test_tds_posterior_reuse_exact(model, reward_fn):
+  fast = model.tds_sampler(reward_fn, B, alpha=0.5,
+                           reuse_posterior=True)
+  slow = model.tds_sampler(reward_fn, B, alpha=0.5,
+                           reuse_posterior=False)
+  np.testing.assert_array_equal(
+      np.asarray(fast(jax.random.key(22)).samples),
+      np.asarray(slow(jax.random.key(22)).samples))
+
+
 def test_svdd_pm_heuristic_runs(model, reward_fn):
   guided = model.tweedie_sampler(reward_fn, B, sample_M=2, tweedie=False)
   x = np.asarray(guided(jax.random.key(7)).samples)
