@@ -156,6 +156,69 @@ def estimate_flops(sampler, key) -> float:
     return 0.0
 
 
+def aot_wrap(sampler, args, phase):
+  """Serve the decode workload from a compiled-executable artifact
+  (svdd_tpu.aot): the driver's end-of-round bench pays the 15-20 min
+  remote cold compile only the FIRST time a round's code runs; later
+  invocations load the executable in seconds (hardware-validated path,
+  svdd_tpu/decode._maybe_aot_cache). The XLA cost analysis is captured
+  at export time in a sidecar so vs_baseline survives the AOT path.
+  Any failure falls back to the live jitted sampler — the bench must
+  never die to a cache problem."""
+  import hashlib
+
+  cache_dir = os.environ.get(
+      'SVDD_AOT_CACHE',
+      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   '.aot_cache'))
+  try:
+    from svdd_tpu import aot
+    flags = {k: v for k, v in sorted(os.environ.items())
+             if k.startswith('SVDD_') and k != 'SVDD_AOT_CACHE'}
+    key_src = repr((args.batch_size, args.sample_M, args.steps,
+                    args.length, args.small, flags, jax.__version__,
+                    aot.PROGRAM_REV))
+    cfg_hash = hashlib.sha1(key_src.encode()).hexdigest()[:10]
+    name = (f'bench-{args.algo}-{jax.default_backend()}-{cfg_hash}')
+    path = os.path.join(cache_dir, name + '.svddc')
+    cost_path = os.path.join(cache_dir, name + '.cost.json')
+    if not os.path.exists(path):
+      os.makedirs(cache_dir, exist_ok=True)
+      phase('AOT artifact missing; compiling + exporting (cold)')
+      size, compiled = aot.export_compiled(sampler, path,
+                                           return_compiled=True)
+      try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_out = float(cost.get('flops', 0.0))
+      except Exception:
+        flops_out = 0.0
+      with open(cost_path, 'w') as f:
+        json.dump({'flops': flops_out}, f)
+      phase(f'AOT exported ({size / 1e6:.1f} MB)')
+    call = aot.load_compiled(path)
+    try:
+      with open(cost_path) as f:
+        flops = float(json.load(f).get('flops', 0.0))
+    except Exception:
+      flops = 0.0
+    phase(f'AOT executable loaded from {path} (no compile)')
+    den_vars, extra_vars = sampler.default_args
+
+    class _Loaded:
+      def __call__(self, key):
+        return call(den_vars, extra_vars, key)
+
+      def cost_analysis(self, key):
+        return {'flops': flops}
+
+    return _Loaded()
+  except Exception as e:  # noqa: BLE001 — any failure -> live sampler
+    phase(f'AOT cache unavailable ({type(e).__name__}: {e}); '
+          'falling back to live jit')
+    return sampler
+
+
 def main() -> None:
   p = argparse.ArgumentParser()
   # 512 is the single-chip throughput sweet spot (22.3 vs 20.5
@@ -235,6 +298,10 @@ def main() -> None:
   sampler = build_workload(args.batch_size, args.sample_M, args.steps,
                            args.length, args.small, args.algo)
   phase('workload built (models initialized)')
+  # --small keeps the live-jit path unless an AOT cache is explicitly
+  # requested (cheap CPU test hook for the artifact round-trip)
+  if not args.small or os.environ.get('SVDD_AOT_CACHE'):
+    sampler = aot_wrap(sampler, args, phase)
 
   key = jax.random.key(0)
   # warmup / compile. NB block_until_ready does NOT block on the axon

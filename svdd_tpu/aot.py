@@ -141,9 +141,14 @@ MAGIC_EXEC = b'SVDDC001'
 
 
 def export_compiled(sampler: Any, path: str | os.PathLike,
-                    *, key: jax.Array | None = None) -> int:
+                    *, key: jax.Array | None = None,
+                    return_compiled: bool = False):
   """Compile a sampler (if not already cached) and serialize the XLA
-  executable to ``path``. Returns the artifact size in bytes."""
+  executable to ``path``. Returns the artifact size in bytes — or
+  ``(size, compiled)`` with ``return_compiled=True`` so callers can run
+  cost analysis on the exact exported executable without risking a
+  second compile (an explicit lower().compile() is not guaranteed to
+  hit the jit dispatch cache)."""
   import pickle
 
   from jax.experimental import serialize_executable as se
@@ -156,6 +161,8 @@ def export_compiled(sampler: Any, path: str | os.PathLike,
   payload = pickle.dumps((n_dev,) + se.serialize(compiled))
   data = MAGIC_EXEC + payload
   _atomic_write(path, data)
+  if return_compiled:
+    return len(data), compiled
   return len(data)
 
 
