@@ -171,19 +171,49 @@ def aot_wrap(sampler, args, phase):
       'SVDD_AOT_CACHE',
       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    '.aot_cache'))
+
+  def code_version() -> str:
+    """Key the artifact by the CODE state (HEAD + uncommitted-diff
+    hash): a perf change in round N+1 must never serve round N's
+    stale executable and misreport its own throughput."""
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+      # last commit touching any .py — docs-only commits keep the key
+      head = subprocess.run(
+          ['git', 'log', '-1', '--format=%H', '--', '*.py'], cwd=repo,
+          capture_output=True, text=True, timeout=10).stdout.strip()
+      diff = subprocess.run(
+          ['git', 'diff', 'HEAD', '--', '*.py'], cwd=repo,
+          capture_output=True, text=True, timeout=10).stdout
+      return head + hashlib.sha1(diff.encode()).hexdigest()[:8]
+    except Exception:
+      return 'unversioned'
+
   try:
     from svdd_tpu import aot
     flags = {k: v for k, v in sorted(os.environ.items())
              if k.startswith('SVDD_') and k != 'SVDD_AOT_CACHE'}
     key_src = repr((args.batch_size, args.sample_M, args.steps,
                     args.length, args.small, flags, jax.__version__,
-                    aot.PROGRAM_REV))
+                    aot.PROGRAM_REV, code_version()))
     cfg_hash = hashlib.sha1(key_src.encode()).hexdigest()[:10]
     name = (f'bench-{args.algo}-{jax.default_backend()}-{cfg_hash}')
     path = os.path.join(cache_dir, name + '.svddc')
     cost_path = os.path.join(cache_dir, name + '.cost.json')
     if not os.path.exists(path):
       os.makedirs(cache_dir, exist_ok=True)
+      # drop superseded artifacts for this workload (130+ MB each;
+      # the key embeds the code version, so every commit mints a new
+      # name and the old ones are dead weight)
+      import glob
+      stale = glob.glob(os.path.join(
+          cache_dir, f'bench-{args.algo}-{jax.default_backend()}-*'))
+      for s in stale:
+        try:
+          os.remove(s)
+        except OSError:
+          pass
       phase('AOT artifact missing; compiling + exporting (cold)')
       size, compiled = aot.export_compiled(sampler, path,
                                            return_compiled=True)
