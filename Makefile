@@ -4,7 +4,11 @@
 CPU_ENV := env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
 
 .PHONY: test test-fast bench bench-small demo-rna demo-dna native lint \
-        parity parity-fixtures
+        parity parity-fixtures comm-budget
+
+comm-budget:      # HLO-counted per-step collective traffic per parallel
+                  # strategy (virtual 8-device CPU mesh)
+	PYTHONPATH=. $(CPU_ENV) python scripts/comm_budget.py
 
 parity:           # real reference artifacts under SVDD_ARTIFACTS_DIR,
                   # data under SVDD_DATA_DIR; runs on the TPU
