@@ -23,6 +23,17 @@ def run(args) -> None:
   reward_fn = common.load_reward_fn(args, cfg)
   vf = common.load_value_function(args, cfg)
 
+  # rna_saluki: the oracle scores the padded (N, 12288, 6) saluki
+  # input while the value net sees the plain 4-channel one-hot
+  # (Enformer.py:142-143 / evaluation:343-397 target branch)
+  from svdd_tpu.value import as_reward_callable, make_reward_transform
+  reward_fn = as_reward_callable(reward_fn)
+  reward_transform = make_reward_transform(
+      args.task,
+      common.load_saluki_body(args) if args.task == 'rna_saluki'
+      else None,
+      args.saluki_final_length)
+
   sampler = diffusion.sampler(args.batch_size)
   pearson = PearsonState.init(1)
   preds_all, targets_all = [], []
@@ -31,7 +42,7 @@ def run(args) -> None:
     key, sub = jax.random.split(key)
     samples = sampler(sub).samples
     onehot = mdlm.transform_samples(samples)
-    target = reward_fn(onehot)
+    target = reward_fn(reward_transform(samples))
     pred = vf.score_onehot(onehot)
     pearson = pearson.update(target, pred)
     preds_all.append(np.asarray(pred))

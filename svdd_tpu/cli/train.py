@@ -35,9 +35,14 @@ def run(args) -> None:
       cdq=args.cdq,
       batch_size=args.batch_size,
       lr_decay=args.lr_decay,
+      task=args.task,
+      saluki_final_length=args.saluki_final_length,
   )
+  saluki_body = (common.load_saluki_body(args)
+                 if args.task == 'rna_saluki' else None)
   trainer = train_val.ValueTrainer(diffusion, vf, reward_fn, tcfg,
-                                   sample_M=args.sample_M)
+                                   sample_M=args.sample_M,
+                                   saluki_body=saluki_body)
   if args.resume_state_path:
     state = trainer.restore_state(args.resume_state_path,
                                   jax.random.key(args.seed))
@@ -50,7 +55,9 @@ def run(args) -> None:
   if args.val_batch_num > 0:
     eval_batches, eval_targets = train_val.build_eval_timestep_batches(
         diffusion, reward_fn, args.batch_size, args.val_batch_num,
-        jax.random.key(args.seed + 1))
+        jax.random.key(args.seed + 1), task=args.task,
+        saluki_body=saluki_body,
+        saluki_final_length=args.saluki_final_length)
 
   from svdd_tpu.observability import MetricsLogger
   logger = MetricsLogger(
@@ -102,8 +109,12 @@ def _run_multisep(args, cfg, diffusion, reward_fn) -> None:
                            num_steps=cfg.sampling.steps)
   tcfg = train_val.ValueTrainerConfig(
       learning_rate=args.learning_rate, batch_size=args.batch_size,
-      max_iter=args.max_iters)
-  trainer = train_val.MultiSepTrainer(diffusion, msm, reward_fn, tcfg)
+      max_iter=args.max_iters, task=args.task,
+      saluki_final_length=args.saluki_final_length)
+  saluki_body = (common.load_saluki_body(args)
+                 if args.task == 'rna_saluki' else None)
+  trainer = train_val.MultiSepTrainer(diffusion, msm, reward_fn, tcfg,
+                                      saluki_body=saluki_body)
   state = trainer.init_state(jax.random.key(args.seed))
   state = trainer.train(state, tcfg.max_iter, log_every=args.eval_every)
   if args.save_path:

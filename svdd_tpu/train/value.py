@@ -60,6 +60,11 @@ class ValueTrainerConfig:
   # keep the grad-step program compilable on the remote TPU stack
   mc_subsample: Optional[int] = None
   tokens_per_iter: float = 32 * 128 * 200 * 4   # (trainer.py:213)
+  # reward-target input routing: rna_saluki builds the (N, 12288, 6)
+  # oracle input for the TARGET while the value net keeps seeing
+  # (N, L, 4) states (Enformer.py:195-196)
+  task: str = 'dna'
+  saluki_final_length: int = 12288
 
 
 class ValueTrainer:
@@ -67,14 +72,21 @@ class ValueTrainer:
 
   def __init__(self, diffusion: Diffusion, vf: value_lib.ValueFunction,
                reward_fn, tcfg: ValueTrainerConfig,
-               sample_M: int = 10):
+               sample_M: int = 10, saluki_body=None):
     # sample_M kept for CLI-surface parity (the reference's train.py
     # accepts it; MC/CDQ training itself doesn't branch on it)
     self.diffusion = diffusion
     self.vf = vf
-    self.reward_fn = reward_fn
+    # reward_fn may be a plain callable or a hoisted
+    # (apply_fn, variables) pair (RewardOracle.as_pair) — the pair's
+    # weights ride into the jitted grad step as ARGUMENTS so they are
+    # never inlined as HLO constants
+    self._reward_apply, self._reward_vars = value_lib.split_reward_fn(
+        reward_fn)
     self.tcfg = tcfg
     self.sample_M = sample_M
+    self._reward_transform = value_lib.make_reward_transform(
+        tcfg.task, saluki_body, tcfg.saluki_final_length)
 
     sched = (self._token_schedule() if tcfg.lr_decay
              else tcfg.learning_rate)
@@ -121,25 +133,29 @@ class ValueTrainer:
     self._sample_key, sub = jax.random.split(self._sample_key)
     res = self._sampler(sub)
     extra = res.extra if self.tcfg.cdq else ()
-    return self._grad_step(state, res.samples, res.mid_x, extra)
+    return self._grad_step(state, res.samples, res.mid_x, extra,
+                           self._reward_vars)
 
   def _make_grad_step(self):
     module = self.vf.module
     has_stats = 'batch_stats' in self.vf.variables
 
-    def step(state: ValueTrainState, samples, mid_x, cdq_candidates):
+    def step(state: ValueTrainState, samples, mid_x, cdq_candidates,
+             reward_vars):
       rng, k_drop, k_sub = jax.random.split(state.rng, 3)
+      reward_fn = lambda x: self._reward_apply(reward_vars, x)
       if self.tcfg.cdq:
         # bootstrap targets use the CURRENT (stop-gradient) value net
         frozen_value = lambda oh: module.apply(
             {'params': state.params, **state.extras}, oh)
         batch = value_lib.cdq_targets(
-            samples, mid_x, cdq_candidates, self.reward_fn,
-            frozen_value)
+            samples, mid_x, cdq_candidates, reward_fn,
+            frozen_value, reward_transform=self._reward_transform)
       else:
         batch = value_lib.mc_targets(
-            samples, mid_x, self.reward_fn, subsample_key=k_sub,
-            num_subsample=self.tcfg.mc_subsample)
+            samples, mid_x, reward_fn, subsample_key=k_sub,
+            num_subsample=self.tcfg.mc_subsample,
+            reward_transform=self._reward_transform)
 
       # timed models take per-state step indices (the reference's
       # TimedEnformer training loop feeds torch.full((B,L), i),
@@ -249,12 +265,15 @@ class MultiSepTrainer:
   bin and each bin's trunk regresses onto the shared final reward."""
 
   def __init__(self, diffusion: Diffusion, msm, reward_fn,
-               tcfg: ValueTrainerConfig):
+               tcfg: ValueTrainerConfig, saluki_body=None):
     from svdd_tpu.models import multisep as ms
     self.diffusion = diffusion
     self.msm = msm
-    self.reward_fn = reward_fn
+    self._reward_apply, self._reward_vars = value_lib.split_reward_fn(
+        reward_fn)
     self.tcfg = tcfg
+    self._reward_transform = value_lib.make_reward_transform(
+        tcfg.task, saluki_body, tcfg.saluki_final_length)
     self.opt = optax.adamw(tcfg.learning_rate)
     self._sampler = diffusion.sampler(tcfg.batch_size,
                                       collect_mid=True)
@@ -270,14 +289,15 @@ class MultiSepTrainer:
   def _make_step(self):
     from svdd_tpu import mdlm as _mdlm
 
-    def step(state, _):
+    def step(state, reward_vars):
       it, stacked, opt_state, rng = state
       rng, k = jax.random.split(rng)
       res = self._sampler(k)
       states = jnp.concatenate(
           [res.mid_x, res.samples[None]], axis=0)          # (S, B, L)
       onehots = _mdlm.transform_samples(states)            # (S, B, L, 4)
-      targets = self.reward_fn(_mdlm.transform_samples(res.samples))
+      targets = self._reward_apply(
+          reward_vars, self._reward_transform(res.samples))
 
       def loss_fn(sv):
         losses = self._multisep_losses(self.msm, sv, onehots, targets)
@@ -309,7 +329,8 @@ class MultiSepTrainer:
 
   def train(self, state, num_iters: int, log_every: int = 50):
     for i in range(num_iters):
-      state, (loss, losses) = self._train_step(state, None)
+      state, (loss, losses) = self._train_step(state,
+                                               self._reward_vars)
       if int(state[0]) % log_every == 0:
         LOGGER.info('multisep step %d mean MSE %.5f (per-bin %s)',
                     int(state[0]), float(loss),
@@ -319,11 +340,18 @@ class MultiSepTrainer:
 
 def build_eval_timestep_batches(diffusion: Diffusion, reward_fn,
                                 batch_size: int, val_batch_num: int,
-                                key: jax.Array):
+                                key: jax.Array, task: str = 'dna',
+                                saluki_body=None,
+                                saluki_final_length: int = 12288):
   """Pre-generate per-timestep eval batches by sampling the diffusion
   model full-depth (BaseModel.__init__, Enformer.py:135-160):
-  returns (eval_batches[t], eval_targets[t]) for t in 0..S-1."""
+  returns (eval_batches[t], eval_targets[t]) for t in 0..S-1.
+  rna_saluki routes the TARGET through the saluki input builder
+  (Enformer.py:142-143); eval states stay 4-channel."""
   from svdd_tpu import mdlm
+  reward_fn = value_lib.as_reward_callable(reward_fn)
+  reward_transform = value_lib.make_reward_transform(
+      task, saluki_body, saluki_final_length)
   sampler = diffusion.sampler(batch_size, collect_mid=True)
   steps = diffusion.config.sampling.steps
   all_samples = [[] for _ in range(steps)]
@@ -331,7 +359,7 @@ def build_eval_timestep_batches(diffusion: Diffusion, reward_fn,
   for i in range(val_batch_num):
     key, sub = jax.random.split(key)
     res = sampler(sub)
-    target = reward_fn(mdlm.transform_samples(res.samples))
+    target = reward_fn(reward_transform(res.samples))
     states = list(res.mid_x) + [res.samples]
     for t, s in enumerate(states):
       all_samples[t].append(mdlm.transform_samples(s))

@@ -114,6 +114,38 @@ class ValueFunction:
 # ---------------------------------------------------------------------------
 
 
+def split_reward_fn(fn_or_pair):
+  """Normalize a reward oracle to hoisted (apply_fn(vars, x), vars)
+  form. Plain callables get empty variables; (apply_fn, variables)
+  pairs (RewardOracle.as_pair) pass through — keeping oracle weights
+  as jit ARGUMENTS instead of closure constants (see
+  Diffusion._hoist: inlined weight constants break the remote TPU
+  compile at scale)."""
+  if isinstance(fn_or_pair, tuple):
+    return fn_or_pair
+  return (lambda _unused_vars, x: fn_or_pair(x)), ()
+
+
+def as_reward_callable(fn_or_pair) -> Callable[[Array], Array]:
+  """Eager-call form of a reward oracle (for non-jitted eval paths)."""
+  apply_fn, variables = split_reward_fn(fn_or_pair)
+  return lambda x: apply_fn(variables, x)
+
+
+def make_reward_transform(task: str = 'dna', saluki_body=None,
+                          saluki_final_length: int = 12288
+                          ) -> Callable[[Array], Array]:
+  """Tokens -> reward-oracle input. ``rna_saluki`` builds the padded
+  (N, 12288, 6) saluki tensor; everything else the plain 4-channel
+  one-hot. This is the reference's target-side branch
+  (Enformer.py:142-143, 195-196): only the REWARD consumes saluki
+  inputs — the value net itself always sees (N, L, 4) states."""
+  if task == 'rna_saluki':
+    return lambda samples: mdlm.transform_samples_saluki(
+        samples, saluki_body, final_length=saluki_final_length)
+  return mdlm.transform_samples
+
+
 class ValueBatch(NamedTuple):
   onehots: Array   # (N, L, 4) states (all timesteps flattened)
   targets: Array   # (N,) regression targets
@@ -122,7 +154,8 @@ class ValueBatch(NamedTuple):
 
 def mc_targets(samples: Array, mid_x: Array, reward_fn,
                subsample_key: Optional[jax.Array] = None,
-               num_subsample: Optional[int] = None) -> ValueBatch:
+               num_subsample: Optional[int] = None,
+               reward_transform=mdlm.transform_samples) -> ValueBatch:
   """Monte-Carlo targets: every intermediate state regresses onto the
   final sample's reward (Enformer.py:192-225).
 
@@ -132,10 +165,14 @@ def mc_targets(samples: Array, mid_x: Array, reward_fn,
   ``num_subsample`` keeps only that many RANDOM intermediate timesteps
   per iteration (equal in expectation to the reference's train-on-all-
   timesteps loss; used for the big Enformer value net where the full
-  S*B grad batch overwhelms the TPU compiler)."""
+  S*B grad batch overwhelms the TPU compiler).
+
+  ``reward_transform`` (see make_reward_transform) builds the oracle's
+  input from the final tokens — saluki tasks feed the (N, 12288, 6)
+  tensor there while the value-net states stay 4-channel
+  (Enformer.py:195-196)."""
   s_minus_1, b, l = mid_x.shape
-  final_onehot = mdlm.transform_samples(samples)
-  target = reward_fn(final_onehot)                       # (B,)
+  target = reward_fn(reward_transform(samples))          # (B,)
   if num_subsample is not None and num_subsample < s_minus_1:
     if subsample_key is None:
       raise ValueError('num_subsample requires subsample_key')
@@ -155,17 +192,18 @@ def mc_targets(samples: Array, mid_x: Array, reward_fn,
 
 
 def cdq_targets(samples: Array, mid_x: Array, all_candidates: Array,
-                reward_fn, value_fn) -> ValueBatch:
+                reward_fn, value_fn,
+                reward_transform=mdlm.transform_samples) -> ValueBatch:
   """CD-Q bootstrapped targets (Enformer.py:226-259): the target for
   the state after step j is the mean value of the candidate next-states
   drawn at step j+1 (stop-gradient), and the final state regresses on
-  the true reward.
+  the true reward (through ``reward_transform`` — saluki tasks build
+  the 12288x6 oracle input; the bootstrap value_fn stays 4-channel).
 
   all_candidates: (S, B, M, L) per-step rollouts from cdq_sampler.
   """
   s, b, m, l = all_candidates.shape
-  final_onehot = mdlm.transform_samples(samples)
-  target = reward_fn(final_onehot)                       # (B,)
+  target = reward_fn(reward_transform(samples))          # (B,)
 
   # mean value over candidates at times 1..S-1 (skip time 0, :233-235)
   cand = all_candidates[1:].reshape((s - 1) * b * m, l)

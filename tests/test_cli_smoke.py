@@ -131,6 +131,39 @@ def test_value_train_cli_smoke(tmp_path):
   assert 'final pearson' in out.stderr + out.stdout
 
 
+def test_value_train_cli_saluki_smoke(tmp_path):
+  """cli.train --task rna_saluki: MC targets must route the REWARD
+  through transform_samples_saluki (padded 6-channel oracle input,
+  Enformer.py:195-196) while the value net trains on 4-channel states;
+  then cli.eval scores the same way (Enformer.py:142-143). Small
+  --saluki_final_length keeps the one-core CPU run tiny."""
+  env = dict(os.environ, JAX_PLATFORMS='cpu')
+  env.pop('PALLAS_AXON_POOL_IPS', None)
+  env['PYTHONPATH'] = REPO
+  body = np.ones((8, 6), np.float32)
+  body_path = tmp_path / 'saluki_body.npy'
+  np.save(body_path, body)
+  save = tmp_path / 'value_ckpt'
+  common = ['--task', 'rna_saluki', '--reward_name', 'stability',
+            '--batch_size', '2', '--num_steps', '4', '--length', '12',
+            '--saluki_final_length', '48',
+            '--saluki_body_path', str(body_path)]
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.train'] + common
+      + ['--max_iters', '2', '--eval_every', '2', '--val_batch_num',
+         '1', '--save_path', str(save)],
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert save.exists()
+
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.eval'] + common
+      + ['--val_batch_num', '1', '--load_checkpoint_path', str(save)],
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert 'final pearson' in out.stderr + out.stdout
+
+
 def test_main_gosai_cli_smoke(tmp_path):
   """main_gosai: 3 train steps with checkpointing, then ppl_eval
   restores and reports val/nll."""
