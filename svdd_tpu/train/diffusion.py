@@ -189,6 +189,7 @@ class Trainer:
     self.eval_step = jax.jit(
         make_eval_step(self.model, self.config, self.mesh))
     self._mgr = None
+    self._best_mgr = None
 
   def _manager(self):
     """Persistent ASYNC orbax CheckpointManager: saves return
@@ -210,9 +211,39 @@ class Trainer:
     self._manager().save(int(state.step), args=ocp.args.Composite(
         state=ocp.args.PyTreeSave(state_to_tree(state, iterator_state))))
 
+  def _best_manager(self):
+    """Best-model retention on validation NLL, the reference's
+    ModelCheckpoint(monitor='val/nll', mode='min')
+    (main_gosai.py:193-198, configs_gosai/callbacks/
+    checkpoint_monitor.yaml): a separate '<ckpt_dir>/best' manager
+    keeping only the lowest-val/nll checkpoint alongside the
+    step-cadence saves above."""
+    if self._best_mgr is None:
+      import orbax.checkpoint as ocp
+      self._best_mgr = ocp.CheckpointManager(
+          os.path.join(os.path.abspath(self.ckpt_dir), 'best'),
+          options=ocp.CheckpointManagerOptions(
+              max_to_keep=1,
+              best_fn=lambda metrics: metrics['val_nll'],
+              best_mode='min',
+              enable_async_checkpointing=True))
+    return self._best_mgr
+
+  def save_best_async(self, state: TrainState, val_nll: float,
+                      iterator_state: dict | None = None) -> None:
+    import orbax.checkpoint as ocp
+    self._best_manager().save(
+        int(state.step),
+        metrics={'val_nll': float(val_nll)},
+        args=ocp.args.Composite(
+            state=ocp.args.PyTreeSave(
+                state_to_tree(state, iterator_state))))
+
   def finalize_checkpoints(self) -> None:
     if self._mgr is not None:
       self._mgr.wait_until_finished()
+    if self._best_mgr is not None:
+      self._best_mgr.wait_until_finished()
 
   def init_or_restore(self, rng: jax.Array, train_iter=None) -> TrainState:
     state = init_state(self.model, self.config, rng)
@@ -285,6 +316,10 @@ class Trainer:
         LOGGER.info('step %d val/nll %.4f', step, nll)
         if self.logger is not None:
           self.logger.log({'val/nll': nll}, step=step)
+        if self.ckpt_dir:
+          self.save_best_async(
+              state, nll,
+              getattr(train_iter, 'state_dict', lambda: {})())
         if self.sample_eval_fn is not None:
           # EMA-swapped sample-quality validation, as the reference does
           # on every validation epoch (diffusion_gosai.py:451-459)
@@ -352,6 +387,18 @@ def state_to_tree(state: TrainState, iterator_state: dict | None) -> dict:
       'rng': jax.random.key_data(state.rng),
       'iterator': it,
   }
+
+
+def restore_best_checkpoint(ckpt_dir: str,
+                            template: TrainState) -> TrainState:
+  """Load the lowest-val/nll checkpoint kept by Trainer.save_best_async
+  (reference ModelCheckpoint(monitor='val/nll') semantics,
+  main_gosai.py:193-198). Falls back to the latest step-cadence
+  checkpoint if no best/ subdir exists."""
+  best_dir = os.path.join(os.path.abspath(ckpt_dir), 'best')
+  if os.path.isdir(best_dir):
+    return restore_checkpoint(best_dir, template)
+  return restore_checkpoint(ckpt_dir, template)
 
 
 def restore_checkpoint(ckpt_dir: str, template: TrainState,

@@ -207,6 +207,32 @@ def test_checkpoint_roundtrip(cfg, tmp_path):
   assert int(restored2.step) == 4
 
 
+def test_best_checkpoint_keeps_lowest_val_nll(cfg, tmp_path):
+  """save_best_async mirrors ModelCheckpoint(monitor='val/nll',
+  mode='min') (main_gosai.py:193-198): across saves with varying NLL
+  only the LOWEST-NLL step survives in <ckpt_dir>/best, and
+  restore_best_checkpoint returns exactly that step."""
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  trainer = train_diff.Trainer(model, cfg, ckpt_dir=str(tmp_path))
+  ds = GosaiDataset('train', length=cfg.model.length)
+  it = iter(FaultTolerantIterator(ds, 8, seed=0))
+  state = trainer.init_or_restore(jax.random.key(1))
+  # step -> synthetic val/nll; step 2 is the best and NOT the latest
+  for nll in (3.0, 1.5, 2.5):
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state, _ = trainer.train_step(state, batch)
+    trainer.save_best_async(state, nll)
+  trainer.finalize_checkpoints()
+
+  best = train_diff.restore_best_checkpoint(
+      str(tmp_path), train_diff.init_state(model, cfg,
+                                           jax.random.key(7)))
+  assert int(best.step) == 2
+  import os
+  kept = [d for d in os.listdir(tmp_path / 'best') if d.isdigit()]
+  assert kept == ['2']
+
+
 def test_iterator_resume_mid_epoch():
   ds = GosaiDataset('train', length=16)
   a = FaultTolerantIterator(ds, 8, seed=0)
