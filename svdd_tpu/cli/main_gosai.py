@@ -189,25 +189,43 @@ def _sample_eval(cfg: Config, args) -> None:
       LOGGER.info('sample: %s', s)
     return
   sampler = model.sampler(cfg.loader.eval_batch_size)
-  all_seqs = []
+  all_seqs, all_tokens = [], []
   for i in range(cfg.sampling.num_sample_batches):
     res = sampler(jax.random.key(i))
-    seqs = gosai.batch_dna_detokenize(np.asarray(res.samples))
+    tokens = np.asarray(res.samples)
+    all_tokens.append(tokens)
+    seqs = gosai.batch_dna_detokenize(tokens)
     all_seqs.extend(seqs)
     for s in seqs[:4]:
       LOGGER.info('sample: %s', s)
   if args.gen_ppl_model:
     # generative perplexity under an external AR LM (the reference's
     # compute_generative_perplexity, diffusion_gosai.py:678-737; needs
-    # a local HF cache for the model weights)
-    from svdd_tpu.eval.gen_ppl import compute_generative_perplexity
-    try:
-      ppl = compute_generative_perplexity(
-          all_seqs, eval_model_name_or_path=args.gen_ppl_model,
-          max_length=cfg.model.length)
-      LOGGER.info('val/gen_ppl (%s): %.4f', args.gen_ppl_model, ppl)
-    except RuntimeError as exc:
-      LOGGER.warning('gen_ppl skipped: %s', exc)
+    # a local HF cache for the model weights). --gen_ppl_model=ar (or
+    # any HF-load failure) falls back to the repo's own AR backbone
+    # over the raw token samples, so the metric runs offline.
+    from svdd_tpu.eval import gen_ppl
+    def _ar_fallback() -> None:
+      if not args.gen_ppl_ar_checkpoint:
+        LOGGER.warning('gen_ppl AR fallback: no --gen_ppl_ar_checkpoint'
+                       ', scoring with a randomly initialized AR net')
+      scorer = gen_ppl.ar_fallback_scorer(
+          cfg, args.gen_ppl_ar_checkpoint)
+      ppl = gen_ppl.compute_generative_perplexity_local(
+          np.concatenate(all_tokens), scorer)
+      LOGGER.info('val/gen_ppl (local ar backbone): %.4f', ppl)
+    if args.gen_ppl_model == 'ar':
+      _ar_fallback()
+    else:
+      try:
+        ppl = gen_ppl.compute_generative_perplexity(
+            all_seqs, eval_model_name_or_path=args.gen_ppl_model,
+            max_length=cfg.model.length)
+        LOGGER.info('val/gen_ppl (%s): %.4f', args.gen_ppl_model, ppl)
+      except RuntimeError as exc:
+        LOGGER.warning('gen_ppl: HF model unavailable (%s); falling '
+                       'back to the local AR backbone', exc)
+        _ar_fallback()
 
 
 def main() -> None:
@@ -236,7 +254,11 @@ def main() -> None:
   p.add_argument('--gen_ppl_model', default=None,
                  help='HF causal-LM name/path for generative-perplexity '
                       'eval in sample_eval mode (e.g. gpt2; needs a '
-                      'local HF cache)')
+                      "local HF cache), or 'ar' to score with the "
+                      "repo's own AR backbone offline")
+  p.add_argument('--gen_ppl_ar_checkpoint', default=None,
+                 help='pytree checkpoint for the AR-backbone gen_ppl '
+                      'fallback (random init + warning without one)')
   args = p.parse_args()
 
   cfg = build_config(args)

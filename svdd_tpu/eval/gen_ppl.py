@@ -82,6 +82,64 @@ def retokenize(tokenizer, text_samples: Sequence[str],
   return batch['input_ids'], batch['attention_mask'], eval_context_size
 
 
+def ar_fallback_scorer(cfg, checkpoint_path: Optional[str] = None):
+  """Offline gen-ppl fallback: score with the repo's OWN AR backbone
+  (models/autoregressive.ARModel — the reference's
+  parameterization='ar' LM, diffusion_gosai.py:1674-1768) instead of
+  an external HF model, so the metric stays runnable in environments
+  with no HuggingFace cache. Returns a ``log_prob_fn(tokens) ->
+  (B, L, V) log-probs`` over the task vocab.
+
+  Pass ``checkpoint_path`` (a pytree saved by cli.main_gosai AR
+  pretraining) for meaningful numbers; without one the net is randomly
+  initialized (still exercises the full path; the caller warns)."""
+  import jax
+  import jax.numpy as jnp
+  from svdd_tpu.models.autoregressive import ARModel
+
+  model = ARModel(config=cfg, vocab_size=cfg.vocab_size)
+  variables = jax.jit(model.init)(
+      jax.random.key(0), jnp.zeros((1, cfg.model.length), jnp.int32),
+      jnp.zeros((1,)))
+  if checkpoint_path:
+    from svdd_tpu.checkpoint import load_pytree
+    variables = load_pytree(checkpoint_path, variables)
+  # variables ride as jit ARGUMENTS (never closure constants)
+  apply = jax.jit(lambda v, toks: model.apply(
+      v, toks, jnp.zeros((toks.shape[0],))))
+  return lambda toks: apply(variables, jnp.asarray(toks))
+
+
+def compute_generative_perplexity_local(
+    token_samples,
+    log_prob_fn,
+    eos_token_id: Optional[int] = None,
+    batch_size: int = 64,
+    metric: Optional[PerplexityAggregate] = None,
+) -> float:
+  """Generative perplexity under a LOCAL JAX causal LM returning
+  (B, L, V) log-probs (e.g. ar_fallback_scorer). Same next-token NLL
+  aggregation and EOS-mask semantics as the HF path
+  (diffusion_gosai.py:728-735); ``eos_token_id=None`` counts every
+  position (DNA/RNA vocabs have no EOS)."""
+  import numpy as np
+  tokens = np.asarray(token_samples)
+  metric = metric if metric is not None else PerplexityAggregate()
+  for s in range(0, tokens.shape[0], batch_size):
+    chunk = tokens[s:s + batch_size]
+    logp = np.asarray(log_prob_fn(chunk), dtype=np.float64)
+    nll = -np.take_along_axis(
+        logp[:, :-1], chunk[:, 1:, None], axis=-1)[..., 0]
+    if eos_token_id is None:
+      mask = np.ones_like(nll)
+    else:
+      first_eos = np.cumsum(chunk == eos_token_id, axis=-1) == 1
+      token_mask = chunk != eos_token_id
+      mask = (first_eos | token_mask)[:, 1:]
+    metric.update(nll, mask)
+  return metric.compute()
+
+
 def compute_generative_perplexity(
     text_samples: Optional[List[str]] = None,
     *,

@@ -192,6 +192,19 @@ def test_main_gosai_cli_smoke(tmp_path):
   assert out.returncode == 0, out.stderr[-2000:]
   assert 'val/nll' in out.stderr + out.stdout
 
+  # sample_eval with --gen_ppl_model ar: the generative-perplexity
+  # metric must actually execute offline via the local AR backbone
+  # (no HF cache in this environment)
+  out = subprocess.run(
+      [sys.executable, '-m', 'svdd_tpu.cli.main_gosai',
+       '--mode', 'sample_eval', '--gen_ppl_model', 'ar'] + common
+      + ['--set', 'model.length=12', 'sampling.steps=4',
+         'model.hidden_dim=16', 'model.num_cnn_stacks=1',
+         'loader.eval_batch_size=4', 'sampling.num_sample_batches=1'],
+      capture_output=True, text=True, cwd=REPO, env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert 'val/gen_ppl (local ar backbone)' in out.stderr + out.stdout
+
 
 def test_parity_harness_fixture_path(tmp_path):
   """scripts/parity_harness.py end-to-end on generated mock torch

@@ -198,3 +198,55 @@ def test_generative_perplexity_uniform_model_exact():
   ppl = compute_generative_perplexity(
       eval_model=UniformLM(), tokenizer=StubTok(), token_samples=toks)
   assert abs(ppl - V) < 1e-4
+
+
+def test_generative_perplexity_local_uniform_exact():
+  """The local-LM gen_ppl path (offline AR-backbone fallback,
+  eval/gen_ppl.compute_generative_perplexity_local) must reproduce the
+  HF path's semantics: uniform log-probs -> ppl == vocab_size exactly,
+  with the same non-EOS + first-EOS token mask."""
+  import numpy as np
+  from svdd_tpu.eval.gen_ppl import compute_generative_perplexity_local
+
+  V = 16
+  uniform = lambda toks: np.full(
+      np.asarray(toks).shape + (V,), -np.log(V))
+
+  toks = np.arange(1, 9, dtype=np.int64)[None].repeat(2, axis=0)
+  ppl = compute_generative_perplexity_local(toks, uniform)
+  assert abs(ppl - V) < 1e-6
+
+  # EOS masking: rows ending in EOS count non-EOS + the first EOS
+  toks2 = toks.copy()
+  toks2[:, -2:] = V - 1
+  ppl2 = compute_generative_perplexity_local(
+      toks2, uniform, eos_token_id=V - 1)
+  assert abs(ppl2 - V) < 1e-6   # uniform => mask doesn't move the ppl
+
+  # non-uniform: per-token NLLs must aggregate with the EOS mask
+  rng = np.random.default_rng(0)
+  raw = rng.standard_normal((2, 8, V))
+  logp = raw - np.log(np.exp(raw).sum(-1, keepdims=True))
+  ppl3 = compute_generative_perplexity_local(
+      toks2, lambda t: logp, eos_token_id=V - 1)
+  nll = -np.take_along_axis(logp[:, :-1], toks2[:, 1:, None], -1)[..., 0]
+  mask = (toks2[:, 1:] != V - 1).astype(float)
+  mask[:, -2] = 1.0             # first EOS counted
+  want = np.exp((nll * mask).sum() / mask.sum())
+  assert abs(ppl3 - want) < 1e-9
+
+
+def test_ar_fallback_scorer_smoke():
+  """ar_fallback_scorer builds the repo's AR backbone and yields a
+  finite perplexity over token samples (the offline gen_ppl path)."""
+  import numpy as np
+  from svdd_tpu.config import tiny_test_config
+  from svdd_tpu.eval.gen_ppl import (ar_fallback_scorer,
+                                     compute_generative_perplexity_local)
+
+  cfg = tiny_test_config('rna')
+  scorer = ar_fallback_scorer(cfg)
+  toks = np.random.default_rng(0).integers(
+      0, 4, size=(4, cfg.model.length))
+  ppl = compute_generative_perplexity_local(toks, scorer)
+  assert np.isfinite(ppl) and ppl > 1.0
