@@ -174,8 +174,10 @@ def aot_wrap(sampler, args, phase):
 
   def code_version() -> str:
     """Key the artifact by the CODE state (HEAD + uncommitted-diff
-    hash): a perf change in round N+1 must never serve round N's
-    stale executable and misreport its own throughput."""
+    hash + untracked .py names/contents): a perf change in round N+1
+    must never serve round N's stale executable and misreport its own
+    throughput — including changes living only in new untracked
+    modules (ADVICE r2)."""
     import subprocess
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -186,7 +188,19 @@ def aot_wrap(sampler, args, phase):
       diff = subprocess.run(
           ['git', 'diff', 'HEAD', '--', '*.py'], cwd=repo,
           capture_output=True, text=True, timeout=10).stdout
-      return head + hashlib.sha1(diff.encode()).hexdigest()[:8]
+      h = hashlib.sha1(diff.encode())
+      untracked = subprocess.run(
+          ['git', 'ls-files', '-o', '--exclude-standard', '--',
+           '*.py'], cwd=repo,
+          capture_output=True, text=True, timeout=10).stdout.split()
+      for rel in untracked:
+        h.update(rel.encode())
+        try:
+          with open(os.path.join(repo, rel), 'rb') as f:
+            h.update(f.read())
+        except OSError:
+          pass
+      return head[:12] + h.hexdigest()[:8]
     except Exception:
       return 'unversioned'
 
@@ -194,21 +208,25 @@ def aot_wrap(sampler, args, phase):
     from svdd_tpu import aot
     flags = {k: v for k, v in sorted(os.environ.items())
              if k.startswith('SVDD_') and k != 'SVDD_AOT_CACHE'}
+    # config-only hash (no code version) + a visible code segment:
+    # pruning may then target ONLY superseded code versions of THIS
+    # config, never live sibling configs (ADVICE r2). The device
+    # count is part of the config: an artifact compiled for n devices
+    # must not serve a host with a different chip count.
     key_src = repr((args.batch_size, args.sample_M, args.steps,
                     args.length, args.small, flags, jax.__version__,
-                    aot.PROGRAM_REV, code_version()))
+                    aot.PROGRAM_REV, jax.device_count()))
     cfg_hash = hashlib.sha1(key_src.encode()).hexdigest()[:10]
-    name = (f'bench-{args.algo}-{jax.default_backend()}-{cfg_hash}')
+    stem = f'bench-{args.algo}-{jax.default_backend()}-{cfg_hash}'
+    name = f'{stem}-{code_version()}'
     path = os.path.join(cache_dir, name + '.svddc')
     cost_path = os.path.join(cache_dir, name + '.cost.json')
     if not os.path.exists(path):
       os.makedirs(cache_dir, exist_ok=True)
-      # drop superseded artifacts for this workload (130+ MB each;
-      # the key embeds the code version, so every commit mints a new
-      # name and the old ones are dead weight)
+      # drop superseded CODE versions of this exact workload config
+      # (130+ MB each); other configs' artifacts stay warm
       import glob
-      stale = glob.glob(os.path.join(
-          cache_dir, f'bench-{args.algo}-{jax.default_backend()}-*'))
+      stale = glob.glob(os.path.join(cache_dir, f'{stem}-*'))
       for s in stale:
         try:
           os.remove(s)
@@ -236,6 +254,14 @@ def aot_wrap(sampler, args, phase):
     den_vars, extra_vars = sampler.default_args
 
     class _Loaded:
+      # main() falls back to this live sampler (and drops the
+      # artifact) if the deserialized executable dies at RUN time —
+      # load_compiled succeeding does not guarantee the host can
+      # execute the artifact (observed on XLA:CPU with machine-feature
+      # mismatches)
+      live_sampler = sampler
+      artifact_path = path
+
       def __call__(self, key):
         return call(den_vars, extra_vars, key)
 
@@ -270,6 +296,14 @@ def main() -> None:
                       'includes its self-generated MC trajectory)')
   p.add_argument('--small', action='store_true',
                  help='tiny CPU self-test preset')
+  p.add_argument('--assumed_ref_mfu', type=float,
+                 default=ASSUMED_REFERENCE_MFU,
+                 help='assumed MFU of the reference torch loop on an '
+                      'A100 for the vs_baseline denominator. The '
+                      'reference publishes no throughput numbers, so '
+                      'vs_baseline is exactly as precise as this '
+                      'constant; the JSON restates the headline at '
+                      '0.10/0.20/0.30 so the sensitivity is explicit')
   args = p.parse_args()
   if args.small:
     args.batch_size, args.sample_M = 8, 4
@@ -337,7 +371,22 @@ def main() -> None:
   # warmup / compile. NB block_until_ready does NOT block on the axon
   # backend (measured: 0.3ms "waits" on 600ms computations) — force
   # completion by fetching the (tiny) token output.
-  np.asarray(sampler(key).samples)
+  try:
+    np.asarray(sampler(key).samples)
+  except Exception as e:  # noqa: BLE001
+    live = getattr(sampler, 'live_sampler', None)
+    if live is None:
+      raise
+    # the AOT artifact loaded but cannot RUN on this host — drop it
+    # and re-pay the live jit; the bench must never die to a cache
+    phase(f'AOT executable failed at run time ({type(e).__name__}: '
+          f'{e}); dropping artifact, falling back to live jit')
+    try:
+      os.remove(sampler.artifact_path)
+    except OSError:
+      pass
+    sampler = live
+    np.asarray(sampler(key).samples)
   phase('compile + warmup decode done')
 
   # time each decode separately and report the BEST iteration
@@ -356,16 +405,22 @@ def main() -> None:
   seqs_per_sec_chip = args.batch_size / dt / n_chips
 
   flops = estimate_flops(sampler, key)
+  sensitivity = {}
   if flops > 0:
     # XLA cost analysis counts the scan BODY once; multiply by the
     # trip count for whole-decode FLOPs
     total_flops = flops * args.steps
-    ref_time_a100 = total_flops / (A100_TF32_FLOPS
-                                   * ASSUMED_REFERENCE_MFU)
-    ref_seqs_per_sec = args.batch_size / ref_time_a100
-    vs_baseline = seqs_per_sec_chip / ref_seqs_per_sec
-    phase(f'cost analysis: {flops/1e12:.2f} TFLOP/step, '
-          f'ref A100 estimate {ref_seqs_per_sec:.2f} seqs/s')
+
+    def vs_at(mfu: float) -> float:
+      ref_seqs = args.batch_size * A100_TF32_FLOPS * mfu / total_flops
+      return seqs_per_sec_chip / ref_seqs
+
+    vs_baseline = vs_at(args.assumed_ref_mfu)
+    sensitivity = {f'{m:.2f}': round(vs_at(m), 3)
+                   for m in (0.10, 0.20, 0.30)}
+    phase(f'cost analysis: {flops/1e12:.2f} TFLOP/step; vs_baseline '
+          f'{vs_baseline:.2f}x at assumed ref MFU '
+          f'{args.assumed_ref_mfu:.0%} (sensitivity: {sensitivity})')
   else:
     vs_baseline = 0.0
 
@@ -376,6 +431,13 @@ def main() -> None:
       'value': round(seqs_per_sec_chip, 3),
       'unit': 'seqs/sec/chip',
       'vs_baseline': round(vs_baseline, 3),
+      # the denominator is an ASSUMPTION (A100 TF32 peak x MFU on the
+      # XLA-counted FLOPs of this exact algorithm) — carry it + the
+      # MFU sensitivity so the headline can't over-claim precision
+      'baseline_assumption':
+          f'reference on A100 at {args.assumed_ref_mfu:.0%} MFU '
+          f'(TF32 peak {A100_TF32_FLOPS/1e12:.0f} TF/s)',
+      'vs_baseline_at_mfu': sensitivity,
   }))
 
 

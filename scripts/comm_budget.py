@@ -42,10 +42,24 @@ _DTYPE_BYTES = {'f64': 8, 'f32': 4, 'f16': 2, 'bf16': 2, 's64': 8,
 
 _SHAPE_RE = re.compile(r'(f64|f32|f16|bf16|s64|s32|u64|u32|s16|u16|s8|u8'
                        r'|pred|c64|c128)\[([0-9,]*)\]')
+# every HLO collective opcode (longest-first so alternation can't
+# truncate a match); send/recv are the point-to-point pair
+_KNOWN_COLLECTIVES = (
+    'ragged-all-to-all', 'collective-broadcast', 'collective-permute',
+    'reduce-scatter', 'all-reduce', 'all-gather', 'all-to-all',
+    'send', 'recv')
 _COLL_RE = re.compile(
     r'= *((?:\([^)]*\))|(?:[a-z0-9]+\[[^\]]*\][^ ]*)) *'
-    r'(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)'
-    r'(?:-start)?\(')
+    r'(' + '|'.join(_KNOWN_COLLECTIVES) + r')'
+    r'(-start)?\(')
+# audit net: ANY op whose mnemonic smells like communication; kinds
+# caught here but not in _KNOWN_COLLECTIVES are reported as
+# 'UNRECOGNIZED:*' so a zero-collectives verdict can't be an artifact
+# of an incomplete kind list (ADVICE r2)
+_ANY_COLL_RE = re.compile(
+    r'= *(?:\([^)]*\)|[a-z0-9]+\[[^\]]*\][^ ]*) *'
+    r'([a-z][a-z0-9-]*(?:all-to-all|all-reduce|all-gather|collective|'
+    r'permute|reduce-scatter)[a-z0-9-]*|send|recv)\(')
 
 
 def _shape_bytes(shape_str: str) -> int:
@@ -59,14 +73,46 @@ def _shape_bytes(shape_str: str) -> int:
   return total
 
 
+def _result_bytes(shape_str: str, is_start: bool) -> int:
+  """Bytes of what actually MOVES. Async `-start` ops return an
+  (operand, result, ...) tuple — counting the whole tuple would
+  overcount by the aliased operand buffer (ADVICE r2); the result is
+  the second component."""
+  if is_start:
+    comps = _SHAPE_RE.findall(shape_str)
+    if len(comps) >= 2:
+      dtype, dims = comps[1]
+      n = 1
+      for d in dims.split(','):
+        if d:
+          n *= int(d)
+      return n * _DTYPE_BYTES[dtype]
+  return _shape_bytes(shape_str)
+
+
 def parse_collectives(hlo_text: str):
   """Return {op_kind: [bytes, ...]} for every collective in the HLO.
-  Bytes = the op's OUTPUT shape (what actually moves, post-partition,
-  per participating device)."""
+  Bytes = the op's RESULT shape (what actually moves, post-partition,
+  per participating device). Communication-looking ops of a kind not
+  in _KNOWN_COLLECTIVES land under 'UNRECOGNIZED:<name>' with bytes 0
+  so they can't silently escape the audit."""
   out: dict[str, list[int]] = {}
+  spans = set()
   for m in _COLL_RE.finditer(hlo_text):
-    shape, kind = m.group(1), m.group(2)
-    out.setdefault(kind, []).append(_shape_bytes(shape))
+    shape, kind, start = m.group(1), m.group(2), m.group(3)
+    out.setdefault(kind, []).append(_result_bytes(shape, bool(start)))
+    spans.add(m.start())
+  for m in _ANY_COLL_RE.finditer(hlo_text):
+    if m.start() in spans:
+      continue
+    name = m.group(1)
+    base = name
+    for suffix in ('-start', '-done'):
+      base = base[:-len(suffix)] if base.endswith(suffix) else base
+    if base in _KNOWN_COLLECTIVES or name.endswith('-done'):
+      # -done ops complete a counted -start; don't double-count
+      continue
+    out.setdefault(f'UNRECOGNIZED:{name}', []).append(0)
   return out
 
 
