@@ -133,9 +133,13 @@ class CNNModel(nn.Module):
     # one tree with the historical nn.LayerNorm / Conv1D names.
     #
     # SVDD_REMAT_CNN_LAYERS=1 wraps each layer body in jax.checkpoint:
-    # the backward of the 20-layer composition at B>64 SIGILLs the TPU
-    # LLO compiler (one giant fusion); per-layer remat restores sane
-    # fusion boundaries and cuts activation memory.
+    # per-layer remat restores sane fusion boundaries in the 20-layer
+    # backward, cuts activation memory, and MEASURES FASTER than the
+    # monolithic backward (r3 sweep, scripts/probe_remat_sigill.py:
+    # B=128 20.6 vs 26.6 ms/step; best train config overall is
+    # microbatch 128 + remat). The historical B>64 LLO-compiler SIGILL
+    # this flag was built for no longer reproduces on the current
+    # runtime (B up to 1024 clean in both modes, 2026-08-19).
     remat = os.environ.get('SVDD_REMAT_CNN_LAYERS', '0') == '1'
     for i, dilation in enumerate(dilations):
       ln_scale, ln_bias = _LNParams(name=f'norm_{i}')(hidden)
