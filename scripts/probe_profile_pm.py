@@ -29,10 +29,22 @@ def reward_apply(variables, onehot):
 
 
 B = int(os.environ.get('PM_B', '512'))
+STEPS = 16
 s = model.tweedie_sampler((reward_apply, vv), B, sample_M=10,
-                          num_steps=16)
+                          num_steps=STEPS)
+import time
+t0 = time.perf_counter()
 np.asarray(s(jax.random.key(0)).samples)   # compile + warm
-print('warm, tracing...', flush=True)
+print(f'warm in {time.perf_counter()-t0:.1f}s, timing...', flush=True)
+
+t0 = time.perf_counter()
+for i in range(3):
+  out = s(jax.random.fold_in(jax.random.key(0), i)).samples
+np.asarray(out)
+dt = (time.perf_counter() - t0) / 3
+print(f'{STEPS}-step decode: {dt:.3f}s = {dt/STEPS*1e3:.1f} ms/step '
+      f'-> extrapolated {B/(dt/STEPS*128):.1f} seqs/s @128 steps',
+      flush=True)
 
 jax.profiler.start_trace('/tmp/jax_trace_pm')
 np.asarray(s(jax.random.key(1)).samples)

@@ -43,7 +43,7 @@ total = sum(r['ms'] for r in rows.values())
 tflop = sum(r['flops'] * r['n'] for r in rows.values()) / 1e12
 print(f'leaf device time: {total:.1f} ms total, {total/steps:.1f} ms/step')
 print(f'XLA-counted: {tflop/steps:.2f} TFLOP/step -> speed-of-light '
-      f'{tflop/steps/0.193*1e3:.1f} ms/step at the 193 TF/s measured '
+      f'{tflop/steps/0.193:.1f} ms/step at the 193 TF/s measured '
       f'dot ceiling ({tflop/total*1e3:.0f} TF/s achieved overall)')
 print(f'{"ms/st":>7} {"%":>5} {"TF/s":>6} {"GB/s":>6}  shape | src | name')
 acc = 0.0
