@@ -32,6 +32,11 @@ import time
 # consumes logits only through a categorical draw). Opt out with
 # SVDD_CNN_BF16=0.
 os.environ.setdefault('SVDD_CNN_BF16', '1')
+# Same for the value net in --algo value_train: bf16 compute lifted the
+# Enformer grad step from 33 TF/s f32 (scripts/probe_profile_value.py);
+# params/opt state/BatchNorm stats stay f32. The decode workloads pass
+# compute_dtype=bf16 explicitly and ignore this.
+os.environ.setdefault('SVDD_VALUE_BF16', '1')
 
 import jax
 import jax.numpy as jnp
@@ -284,8 +289,11 @@ def main() -> None:
   p = argparse.ArgumentParser()
   # 512 is the single-chip throughput sweet spot (22.3 vs 20.5
   # seqs/sec/chip at the reference's per-run 256); the metric line
-  # reports the shape explicitly
-  p.add_argument('--batch_size', type=int, default=512)
+  # reports the shape explicitly. value_train defaults to the
+  # reference's train.py batch (32, train.py:249) instead — B=512
+  # value training is not a reference workload and the B*(sub+1)
+  # Enformer grad step OOMs HBM at that shape.
+  p.add_argument('--batch_size', type=int, default=None)
   p.add_argument('--sample_M', type=int, default=10)
   p.add_argument('--steps', type=int, default=128)
   p.add_argument('--length', type=int, default=200)
@@ -310,6 +318,8 @@ def main() -> None:
                       'constant; the JSON restates the headline at '
                       '0.10/0.20/0.30 so the sensitivity is explicit')
   args = p.parse_args()
+  if args.batch_size is None:
+    args.batch_size = 32 if args.algo == 'value_train' else 512
   if args.small:
     args.batch_size, args.sample_M = 8, 4
     args.steps, args.length = 8, 24

@@ -17,6 +17,7 @@ reward oracle, and self-generating training forwards. Per SURVEY.md §1
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple, Optional
 
 import flax.linen as nn
@@ -38,6 +39,16 @@ def build_value_module(task: str, model: str = 'enformer',
   hard-swap to ConvGRU, Enformer.py:31-50)."""
   if task in ('rna', 'rna_saluki'):
     return ConvGRUValueModel(n_tasks=n_tasks)
+  # SVDD_VALUE_BF16=1 opts the Enformer value net into bf16 compute
+  # (params/grads/BatchNorm stats stay f32 — flax computes norm stats
+  # in f32). The decode bench path always passes compute_dtype
+  # explicitly; this env default covers the CLIs and the value
+  # TRAINER, where the f32 grad step measured 33 TF/s vs bf16's
+  # MXU-friendly compute (scripts/probe_profile_value.py). Default
+  # f32 = exact reference parity (trainer.py:150-208 trains f32).
+  if ('compute_dtype' not in kwargs
+      and os.environ.get('SVDD_VALUE_BF16') == '1'):
+    kwargs['compute_dtype'] = jnp.bfloat16
   if model == 'enformer':
     return EnformerValueModel(n_tasks=n_tasks, timed=timed, **kwargs)
   if model == 'timedenformer':

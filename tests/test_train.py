@@ -502,3 +502,33 @@ def test_multisep_state_roundtrip(cfg, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
   r = tr.train(r, 1)
   assert int(r[0]) == int(st[0]) + 1
+
+
+def test_value_bf16_env_knob(monkeypatch):
+  """SVDD_VALUE_BF16=1 switches the Enformer value net to bf16 compute
+  (value.build_value_module); params stay f32 and scores track the f32
+  module. Explicit compute_dtype kwargs win over the env."""
+  from svdd_tpu.value import build_value_module
+  tiny = dict(n_conv=3, channels=256, n_transformers=1, n_heads=2,
+              key_len=8)
+
+  monkeypatch.delenv('SVDD_VALUE_BF16', raising=False)
+  m32 = build_value_module('dna', 'enformer', **tiny)
+  assert m32.compute_dtype == jnp.float32
+  monkeypatch.setenv('SVDD_VALUE_BF16', '1')
+  m16 = build_value_module('dna', 'enformer', **tiny)
+  assert m16.compute_dtype == jnp.bfloat16
+  explicit = build_value_module('dna', 'enformer',
+                                compute_dtype=jnp.float32, **tiny)
+  assert explicit.compute_dtype == jnp.float32
+
+  x = jax.random.uniform(jax.random.key(0), (2, 16, 4))
+  variables = m32.init(jax.random.key(1), x)
+  got32 = np.asarray(m32.apply(variables, x))
+  got16 = np.asarray(m16.apply(variables, x))
+  # params are f32 either way (param_dtype default); only compute
+  # rounds through bf16
+  assert all(a.dtype == np.float32
+             for a in jax.tree.leaves(variables))
+  assert got16.dtype == np.float32
+  np.testing.assert_allclose(got16, got32, rtol=0.05, atol=0.05)
