@@ -121,14 +121,16 @@ def build_train_workload(batch_size: int, length: int, small: bool,
 
   if algo == 'diffusion_train':
     from svdd_tpu.train import diffusion as train_diff
-    # Sweep-validated fastest train config (scripts/probe_remat_sigill.py,
-    # r3 hardware sweep): microbatch 128 + per-layer remat = 68.6 ms/step
-    # at global batch 512 (7459 seqs/s) vs 102.4 ms monolithic. The old
-    # B>64 CNN-backward LLO SIGILL no longer reproduces on the current
-    # runtime (B up to 1024 clean in both remat modes); accum/remat are
-    # now purely perf knobs.
-    cfg.training.accum_steps = max(1, batch_size // 128)
-    os.environ.setdefault('SVDD_REMAT_CNN_LAYERS', '1')
+    # Sweep-validated fastest train config (r3, scripts/probe_cnn_bwd.py
+    # + probe_profile_train.py): microbatch 256, NO remat, fused Pallas
+    # CNN-layer backward (default-on) = 25.4 ms/step at global batch 512
+    # (20,156 seqs/s) vs 46.4 ms with the XLA reference VJP. Remat is a
+    # pure perf knob now (the bwd kernel recomputes its own forward
+    # in-VMEM, so per-layer remat just adds a redundant fwd pass); the
+    # old B>64 CNN-backward LLO SIGILL no longer reproduces (B up to
+    # 1024 clean, scripts/probe_remat_sigill.py).
+    cfg.training.accum_steps = max(1, batch_size // 256)
+    os.environ.setdefault('SVDD_REMAT_CNN_LAYERS', '0')
     model = Diffusion(cfg, rng=jax.random.key(0))
     trainer = train_diff.Trainer(model, cfg)
     state = trainer.init_or_restore(jax.random.key(1))

@@ -183,6 +183,217 @@ def cnn_layer_pallas(x: Array, bias_row: Array, ln_scale: Array,
     conv_bias.reshape(1, c))
 
 
+def _bwd_kernel(x_ref, br_ref, g_ref, b_ref, w_ref, wt_ref, cb_ref,
+                ct_ref, dx_ref, dbr_ref, dw_ref, dg_ref, db_ref,
+                dcb_ref, *, offsets: tuple, eps: float):
+  """Full layer backward in one pass over a (tn, l, c) block.
+
+  Recomputes h/acc with the EXACT forward-kernel math (same per-slab
+  bf16 casts) so the relu mask matches the primal the Pallas forward
+  produced, then:
+    dgrad  = the mirror tap-stacked dot (dacc @ [W_j^T stacked]) with
+             NEGATED shift-accumulate offsets,
+    wgrad  = per-tap transposed-contraction dots h^T @ shift(dacc),
+    LN bwd = standard channel-axis formula on the VPU,
+  and accumulates dW/dgamma/dbeta/dconv_bias across the sequential
+  grid (index_map pins their block; init at program 0)."""
+  import jax.experimental.pallas as pl
+
+  x = x_ref[:]                                    # (tn, l, c)
+  tn, l, c = x.shape
+  n_taps = len(offsets)
+
+  def shift(arr, off):
+    # shifted(arr, off)[i] = arr[i + off], zero-filled (conv1d.py rule)
+    if off > 0:
+      return jnp.pad(arr[:, off:, :], ((0, 0), (0, off), (0, 0)))
+    if off < 0:
+      return jnp.pad(arr[:, :l + off, :], ((0, 0), (-off, 0), (0, 0)))
+    return arr
+
+  # ---- forward recompute (identical op order to _kernel) ----
+  h0 = x.astype(jnp.float32) + br_ref[:].astype(jnp.float32)[:, None, :]
+  mu = jnp.mean(h0, axis=-1, keepdims=True)
+  var = jnp.mean((h0 - mu) ** 2, axis=-1, keepdims=True)
+  rstd = jax.lax.rsqrt(var + eps)
+  hn = (h0 - mu) * rstd                           # f32
+  gv = g_ref[0].astype(jnp.float32)
+  hs = hn * gv + b_ref[0].astype(jnp.float32)
+  h = hs.astype(x.dtype)                          # the fwd dot operand
+  h2 = h.reshape(tn * l, c)
+  y = jax.lax.dot_general(h2, w_ref[:], (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+  y = y.astype(x.dtype).reshape(tn, l, n_taps * c)
+  acc = jnp.zeros((tn, l, c), jnp.float32)
+  for j, off in enumerate(offsets):
+    acc = acc + shift(y[:, :, j * c:(j + 1) * c], off).astype(
+        jnp.float32)
+  acc = acc + cb_ref[0].astype(jnp.float32)[None, None, :]
+
+  # ---- relu + conv-bias backward ----
+  ct = ct_ref[:]
+  dacc = jnp.where(acc > 0, ct.astype(jnp.float32), 0.0)   # (tn, l, c)
+  dcb_blk = jnp.sum(dacc, axis=(0, 1)).reshape(1, c)
+
+  # ---- dgrad: dh = sum_j shifted(dacc @ W_j^T, -off_j) ----
+  da = dacc.astype(x.dtype)
+  z = jax.lax.dot_general(da.reshape(tn * l, c), wt_ref[:],
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+  z = z.reshape(tn, l, n_taps * c)
+  dhs = jnp.zeros((tn, l, c), jnp.float32)
+  for j, off in enumerate(offsets):
+    dhs = dhs + shift(z[:, :, j * c:(j + 1) * c], -off)
+
+  # ---- wgrad: dW_j = h^T @ shifted(dacc, -off_j) ----
+  i = pl.program_id(0)
+
+  @pl.when(i == 0)
+  def _():
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+    dg_ref[:] = jnp.zeros_like(dg_ref)
+    db_ref[:] = jnp.zeros_like(db_ref)
+    dcb_ref[:] = jnp.zeros_like(dcb_ref)
+
+  for j, off in enumerate(offsets):
+    ds = shift(dacc, -off).astype(x.dtype).reshape(tn * l, c)
+    dw_j = jax.lax.dot_general(h2, ds, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dw_ref[j * c:(j + 1) * c, :] += dw_j
+  dcb_ref[:] += dcb_blk
+
+  # ---- LayerNorm backward (channel axis) ----
+  dg_ref[:] += jnp.sum(dhs * hn, axis=(0, 1)).reshape(1, c)
+  db_ref[:] += jnp.sum(dhs, axis=(0, 1)).reshape(1, c)
+  dhn = dhs * gv
+  m1 = jnp.mean(dhn, axis=-1, keepdims=True)
+  m2 = jnp.mean(dhn * hn, axis=-1, keepdims=True)
+  dh0 = rstd * (dhn - m1 - hn * m2)
+  dx_ref[:] = dh0.astype(x.dtype) + ct
+  dbr_ref[:] = jnp.sum(dh0, axis=1).astype(dbr_ref.dtype)
+
+
+def _pick_tile_n_bwd(n: int, l: int, c: int, k_live: int,
+                     budget: int = 80 * 2 ** 20) -> int:
+  best = 0
+  for cand in (8, 16, 32, 64):
+    if n % cand:
+      continue
+    rows = cand * l
+    est = (3 * 2 * rows * c * 2            # x/ct/dx double-buffered bf16
+           + 5 * rows * c * 4              # f32 h0/hn/acc/dacc/dhs
+           + rows * k_live * c * 2         # y slab (bf16)
+           + rows * k_live * c * 4         # z slab (f32)
+           + rows * k_live * c * 2         # shifted-dacc transients
+           + 2 * c * k_live * c * 2        # w + wt
+           + k_live * c * c * 4)           # dW accumulator
+    if est <= budget:
+      best = cand
+  return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=('dilation', 'eps', 'interpret'))
+def cnn_layer_bwd_pallas(x: Array, bias_row: Array, ln_scale: Array,
+                         ln_bias: Array, kernel: Array,
+                         conv_bias: Array, ct: Array, dilation: int = 1,
+                         eps: float = 1e-6, interpret: bool = False):
+  """Pallas VJP of cnn_layer_pallas: one fused kernel per block does
+  forward-recompute (relu mask), dgrad, wgrad, and LN backward.
+
+  Replaces the XLA route (jax.vjp through cnn_layer_reference), whose
+  conv1d_shifted im2col forward + differentiated pad/slice/cotangent
+  chains measured 85 TF/s in the diffusion-train backward bucket
+  (TODO.md train roofline; reference hot path trainer.py:150-208).
+  Returns (dx, dbias_row, dln_scale, dln_bias, dkernel, dconv_bias) in
+  the primal dtypes."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n, l, c = x.shape
+  k_taps = kernel.shape[0]
+  live = _live_taps(k_taps, dilation, l)
+  offsets = tuple(_live_offsets(k_taps, dilation, l))
+  tile_n = _pick_tile_n_bwd(n, l, c, len(live))
+  if tile_n == 0 or not live:
+    _, vjp = jax.vjp(
+        lambda *a: cnn_layer_reference(*a, dilation=dilation, eps=eps),
+        x, bias_row, ln_scale, ln_bias, kernel, conv_bias)
+    return vjp(ct)
+  w = jnp.concatenate([kernel[k] for k in live], axis=1)
+  wt = jnp.concatenate([kernel[k].T for k in live], axis=1)
+  grid = (n // tile_n,)
+  body = functools.partial(_bwd_kernel, offsets=offsets, eps=eps)
+  dx, dbr, dw, dg, db, dcb = pl.pallas_call(
+      body,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile_n, c), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((c, len(live) * c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((c, len(live) * c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=(
+          pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile_n, c), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((len(live) * c, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((n, l, c), x.dtype),
+          jax.ShapeDtypeStruct((n, c), bias_row.dtype),
+          jax.ShapeDtypeStruct((len(live) * c, c), jnp.float32),
+          jax.ShapeDtypeStruct((1, c), jnp.float32),
+          jax.ShapeDtypeStruct((1, c), jnp.float32),
+          jax.ShapeDtypeStruct((1, c), jnp.float32),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      cost_estimate=pl.CostEstimate(
+          flops=3 * 2 * n * l * len(live) * c * c,
+          bytes_accessed=(x.size * 3 + w.size * 2) * 2,
+          transcendentals=0),
+      interpret=interpret,
+  )(x, bias_row.astype(x.dtype), ln_scale.reshape(1, c),
+    ln_bias.reshape(1, c), w.astype(x.dtype), wt.astype(x.dtype),
+    conv_bias.reshape(1, c), ct.astype(x.dtype))
+
+  # scatter live-tap dW rows back into the full (K, Cin, Cout) kernel
+  dkernel = jnp.zeros(kernel.shape, jnp.float32)
+  for j, k in enumerate(live):
+    dkernel = dkernel.at[k].set(dw[j * c:(j + 1) * c, :])
+  return (dx, dbr.astype(bias_row.dtype),
+          dg.reshape(c).astype(ln_scale.dtype),
+          db.reshape(c).astype(ln_bias.dtype),
+          dkernel.astype(kernel.dtype),
+          dcb.reshape(c).astype(conv_bias.dtype))
+
+
+def use_pallas_cnn_bwd() -> bool:
+  """Default ON (opt out with SVDD_PALLAS_CNN_BWD=0)."""
+  return os.environ.get('SVDD_PALLAS_CNN_BWD', '1') == '1'
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _fused_core(x, bias_row, ln_scale, ln_bias, kernel, conv_bias,
                 dilation, eps, interpret):
@@ -200,8 +411,12 @@ def _fused_fwd(x, bias_row, ln_scale, ln_bias, kernel, conv_bias,
 
 
 def _fused_bwd(dilation, eps, interpret, res, ct):
-  """Backward through the jnp reference (DPS / classifier guidance
-  take jax.grad through the denoiser forward; Pallas has no VJP)."""
+  """Fused Pallas backward when enabled (diffusion pretrain, DPS /
+  classifier guidance all take jax.grad through the denoiser); falls
+  back to differentiating the jnp reference."""
+  if use_pallas_cnn_bwd():
+    return cnn_layer_bwd_pallas(*res, ct, dilation=dilation, eps=eps,
+                                interpret=interpret)
   _, vjp = jax.vjp(
       lambda *a: cnn_layer_reference(*a, dilation=dilation, eps=eps),
       *res)

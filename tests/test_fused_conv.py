@@ -136,6 +136,106 @@ def test_cnn_layer_fused_custom_vjp_matches_reference_grad():
                              atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize('dilation', [1, 4, 16, 64])
+def test_cnn_layer_bwd_pallas_matches_reference_vjp(dilation):
+  """The fused Pallas backward kernel (forward-recompute relu mask +
+  mirror-dot dgrad + transposed-dot wgrad + LN backward) vs
+  jax.vjp through the jnp reference, all six cotangents, incl. the
+  dilation-64/L=50 single-live-tap edge."""
+  from svdd_tpu.ops.cnn_layer_pallas import (cnn_layer_bwd_pallas,
+                                             cnn_layer_reference)
+  n, l, c, k = 8, 50, 128, 9
+  x = _rand(0, (n, l, c))
+  br = _rand(1, (n, c), 0.5)
+  g = 1.0 + 0.1 * _rand(2, (c,))
+  b = 0.1 * _rand(3, (c,))
+  w = _rand(4, (k, c, c), 0.05)
+  cb = 0.1 * _rand(5, (c,))
+  ct = _rand(6, (n, l, c))
+
+  _, vjp = jax.vjp(
+      lambda *a: cnn_layer_reference(*a, dilation=dilation),
+      x, br, g, b, w, cb)
+  want = vjp(ct)
+  got = cnn_layer_bwd_pallas(x, br, g, b, w, cb, ct,
+                             dilation=dilation, interpret=True)
+  names = ('dx', 'dbias_row', 'dln_scale', 'dln_bias', 'dkernel',
+           'dconv_bias')
+  for nm, gt, wt in zip(names, got, want):
+    assert gt.dtype == wt.dtype, nm
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(wt),
+                               atol=2e-4, rtol=2e-4, err_msg=nm)
+
+
+def _pallas_layer_semantics(x, br, g, b, w, cb, dil, eps=1e-6,
+                            length=None):
+  """jnp replica of the Pallas forward kernel's EXACT math (f32 bias
+  add + f32 LN apply + per-slab bf16 cast accumulation) — the primal
+  whose true VJP the Pallas backward kernel computes. The jnp
+  ``cnn_layer_reference`` differs at bf16 (bf16 bias add, bf16 LN
+  scale apply, single-cast im2col accumulation), so its VJP is the
+  wrong oracle for bf16 backward tests."""
+  from svdd_tpu.ops.cnn_layer_pallas import (_live_offsets, _live_taps)
+  n, l, c = x.shape
+  h0 = x.astype(jnp.float32) + br.astype(jnp.float32)[:, None, :]
+  mu = h0.mean(-1, keepdims=True)
+  var = ((h0 - mu) ** 2).mean(-1, keepdims=True)
+  hn = (h0 - mu) * jax.lax.rsqrt(var + eps)
+  h = (hn * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(
+      x.dtype)
+  live = _live_taps(w.shape[0], dil, l)
+  offsets = _live_offsets(w.shape[0], dil, l)
+  acc = jnp.zeros((n, l, c), jnp.float32)
+  for k_idx, off in zip(live, offsets):
+    slab = jnp.dot(h.reshape(n * l, c), w[k_idx],
+                   preferred_element_type=jnp.float32)
+    slab = slab.astype(x.dtype).reshape(n, l, c)
+    if off > 0:
+      slab = jnp.pad(slab[:, off:, :], ((0, 0), (0, off), (0, 0)))
+    elif off < 0:
+      slab = jnp.pad(slab[:, :l + off, :], ((0, 0), (-off, 0), (0, 0)))
+    acc = acc + slab.astype(jnp.float32)
+  acc = acc + cb.astype(jnp.float32)[None, None, :]
+  return jnp.maximum(acc, 0.0).astype(x.dtype) + x
+
+
+def test_cnn_layer_bwd_pallas_bf16():
+  """bf16 activations / f32 LN+conv-bias params (the exact dtype mix
+  models/cnn.py passes under SVDD_CNN_BF16): cotangent dtypes must
+  match the primals and values must track the true VJP of the Pallas
+  forward semantics (see _pallas_layer_semantics — the reference VJP
+  is a DIFFERENT function at bf16 and diverges at relu-mask flips)."""
+  from svdd_tpu.ops.cnn_layer_pallas import cnn_layer_bwd_pallas
+  n, l, c, k, dil = 8, 50, 128, 9, 4
+  x = _rand(0, (n, l, c)).astype(jnp.bfloat16)
+  br = _rand(1, (n, c), 0.5).astype(jnp.bfloat16)
+  g = 1.0 + 0.1 * _rand(2, (c,))
+  b = 0.1 * _rand(3, (c,))
+  w = _rand(4, (k, c, c), 0.05).astype(jnp.bfloat16)
+  cb = 0.1 * _rand(5, (c,))
+  ct = _rand(6, (n, l, c)).astype(jnp.bfloat16)
+
+  _, vjp = jax.vjp(
+      lambda *a: _pallas_layer_semantics(*a, dil=dil),
+      x, br, g, b, w, cb)
+  want = vjp(ct)
+  got = cnn_layer_bwd_pallas(x, br, g, b, w, cb, ct, dilation=dil,
+                             interpret=True)
+  for nm, gt, wt in zip(('dx', 'dbr', 'dg', 'db', 'dw', 'dcb'),
+                        got, want):
+    assert gt.dtype == wt.dtype, nm
+    # the kernel rounds dacc to bf16 before the dgrad/wgrad dots (MXU
+    # operands); the semantics VJP keeps it f32. For the summed
+    # per-channel stats (db/dg/...) that rounding accumulates over
+    # N*L cancellation-prone terms, so the atol must scale with the
+    # output's magnitude, not sit at a fixed constant.
+    wt = np.asarray(wt, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(gt, np.float32), wt,
+        atol=0.02 * max(np.abs(wt).max(), 1.0) + 0.02,
+        rtol=0.1, err_msg=nm)
+
+
 def test_cnn_layer_bf16_dtype_discipline():
   """bf16 activations with f32 params must stay bf16 through the
   reference layer (an f32 conv-bias promotion diverged from the Pallas
