@@ -116,10 +116,39 @@ class PoolHandoff(NamedTuple):
   lnc: bool = False             # x/residual are (L, N, C)
 
 
+_FORCE_UNFUSED = 0    # unfused_guard depth (trace-time, not traced)
+
+
 def use_fused_nacdr() -> bool:
   """Kill-switch for the fused NACDR conv path (SVDD_FUSED_NACDR=0)."""
   import os
+  if _FORCE_UNFUSED:
+    return False
   return os.environ.get('SVDD_FUSED_NACDR', '1') == '1'
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def unfused_guard():
+  """Trace the enclosed region with the fused NACDR eval pipeline OFF.
+
+  Used around jax.grad through a value/reward trunk (DPS and
+  classifier guidance, sampling/guidance.py): the fused eval kernels'
+  custom VJPs re-run the UNFUSED reference forward to linearize, so a
+  grad context through the fused pipeline pays fused-fwd + reference-
+  fwd + XLA backward chains. Tracing the grad region unfused instead
+  runs one XLA forward whose convs/pools carry the fused Pallas
+  backwards (ops/conv1d_bwd_pallas.py,
+  ops/attn_pool_pallas.attn_pool_wlogits_bwd_pallas) — strictly less
+  work. Trace-time only; the flag never enters the jaxpr."""
+  global _FORCE_UNFUSED
+  _FORCE_UNFUSED += 1
+  try:
+    yield
+  finally:
+    _FORCE_UNFUSED -= 1
 
 
 def gelu_enformer(x: Array) -> Array:

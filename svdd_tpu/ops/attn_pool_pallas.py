@@ -411,6 +411,147 @@ def attn_pool_wlogits_pallas(x: Array, w: Array, mask_tail: bool,
   )(*args)
 
 
+def _wl_bwd_kernel(x_ref, *rest, mask_tail, has_res):
+  """Backward of the w-logits pool blend in one VMEM pass.
+
+  out = x1 + d*sigmoid(d@W) with d = x0-x1 (pairs = lane halves), so
+    dld = ct*d * wgt*(1-wgt)        (zeroed at the forced tail pair),
+    dx0 = ct*wgt + dld@W^T,  dx1 = ct - dx0,
+    dW  = d^T @ dld                 (accumulated across the grid),
+  which matches jax.vjp of attn_pool_wlogits_reference: the reference's
+  per-position dlogits are +/-dld, and its -inf tail masking kills the
+  same tail terms. dres (when present) equals dx and is emitted by the
+  wrapper as the same array."""
+  import jax.experimental.pallas as pl
+
+  if has_res:
+    res_ref, w_ref, wt_ref, ct_ref, dx_ref, dw_ref = rest
+  else:
+    w_ref, wt_ref, ct_ref, dx_ref, dw_ref = rest
+  x = x_ref[:]
+  if has_res:
+    x = x + res_ref[:]
+  tn, l, c = x.shape
+  lh = l // 2
+  xw = x.reshape(tn, lh, 2 * c)
+  x0 = xw[..., :c].astype(jnp.float32)
+  x1 = xw[..., c:].astype(jnp.float32)
+  d = x0 - x1
+  db = d.astype(x.dtype)
+  ld = jax.lax.dot_general(
+      db.reshape(tn * lh, c), w_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32).reshape(tn, lh, c)
+  wgt = jax.nn.sigmoid(ld)
+  ct = ct_ref[:].astype(jnp.float32)
+  if mask_tail:
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tn, lh, c), 1)
+    wgt = jnp.where(pos == lh - 1, 1.0, wgt)
+    dld = jnp.where(pos == lh - 1, 0.0, ct * d * wgt * (1.0 - wgt))
+  else:
+    dld = ct * d * wgt * (1.0 - wgt)
+  dd1 = jax.lax.dot_general(
+      dld.astype(x.dtype).reshape(tn * lh, c), wt_ref[:],
+      (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32).reshape(tn, lh, c)
+  dx0 = ct * wgt + dd1
+  dx1 = ct - dx0
+  dx_ref[:] = jnp.concatenate(
+      [dx0, dx1], axis=-1).reshape(tn, l, c).astype(dx_ref.dtype)
+
+  i = pl.program_id(0)
+
+  @pl.when(i == 0)
+  def _():
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+
+  dw_ref[:] += jax.lax.dot_general(
+      db.reshape(tn * lh, c), dld.astype(x.dtype).reshape(tn * lh, c),
+      (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _pick_tile_n_wl_bwd(n: int, l: int, c: int, itemsize: int,
+                        has_res: bool = False,
+                        budget: int = 80 * 2 ** 20) -> int:
+  best = 0
+  for cand in (1, 2, 4, 8, 16, 32, 64, 128):
+    if n % cand:
+      continue
+    rows = cand * l * c
+    est = ((4 if has_res else 2) * rows * itemsize  # x (+res) dbl-buf
+           + 2 * (rows // 2) * itemsize             # ct double-buffered
+           + 2 * rows * itemsize                    # dx double-buffered
+           + 10 * (rows // 2) * 4                   # f32 blend temps
+           + 2 * c * c * itemsize                   # resident W + W^T
+           + c * c * 4)                             # dW accumulator
+    if est <= budget:
+      best = cand
+  return best
+
+
+@functools.partial(jax.jit, static_argnames=('mask_tail', 'interpret'))
+def attn_pool_wlogits_bwd_pallas(x: Array, w: Array, ct: Array,
+                                 mask_tail: bool,
+                                 residual: Array | None = None,
+                                 interpret: bool = False):
+  """Fused (dx, dW) for the w-logits pool; dres == dx (the blend sees
+  only x+residual, so the wrapper returns the same array for both).
+  Replaces the XLA route (jax.vjp of attn_pool_wlogits_reference),
+  which re-runs the logits matmul plus softmax backward as
+  bandwidth-bound passes — measured 29-49 TF/s in the value-net grad
+  step (TODO.md value roofline)."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n, l, c = x.shape
+  has_res = residual is not None
+  tile_n = _pick_tile_n_wl_bwd(n, l, c, x.dtype.itemsize,
+                               has_res=has_res)
+  assert tile_n > 0, 'caller must gate on pool_bwd_ok'
+  body = functools.partial(_wl_bwd_kernel, mask_tail=mask_tail,
+                           has_res=has_res)
+  xspec = pl.BlockSpec((tile_n, l, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+  wspec = pl.BlockSpec((c, c), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+  in_specs = [xspec] + ([xspec] if has_res else []) + [
+      wspec, wspec,
+      pl.BlockSpec((tile_n, l // 2, c), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM)]
+  wc = w.astype(x.dtype)
+  args = ((x,) + ((residual,) if has_res else ())
+          + (wc, wc.T, ct.astype(x.dtype)))
+  dx, dw = pl.pallas_call(
+      body,
+      grid=(n // tile_n,),
+      in_specs=in_specs,
+      out_specs=(xspec, wspec),
+      out_shape=(jax.ShapeDtypeStruct((n, l, c), x.dtype),
+                 jax.ShapeDtypeStruct((c, c), jnp.float32)),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=110 * 1024 * 1024),
+      cost_estimate=pl.CostEstimate(
+          flops=3 * n * l * c * c + 16 * n * l * c,
+          bytes_accessed=(x.size * (2 if has_res else 1)
+                          + x.size // 2 + x.size) * x.dtype.itemsize,
+          transcendentals=n * l // 2 * c),
+      interpret=interpret,
+  )(*args)
+  return dx, dw.astype(w.dtype)
+
+
+def use_pallas_pool_bwd() -> bool:
+  """Default ON on TPU (opt out with SVDD_PALLAS_POOL_BWD=0)."""
+  from svdd_tpu.ops.kernel_utils import default_on_tpu
+  return default_on_tpu('SVDD_PALLAS_POOL_BWD')
+
+
+def _pool_bwd_ok(n: int, l: int, c: int, itemsize: int,
+                 has_res: bool) -> bool:
+  return (l % 2 == 0 and c % 128 == 0
+          and _pick_tile_n_wl_bwd(n, l, c, itemsize,
+                                  has_res=has_res) > 0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _wl_core(x, w, mask_tail, interpret):
   return attn_pool_wlogits_pallas(x, w, mask_tail, interpret=interpret)
@@ -422,6 +563,14 @@ def _wl_fwd(x, w, mask_tail, interpret):
 
 
 def _wl_bwd(mask_tail, interpret, res, ct):
+  # interpret=True (the testing path) always takes the Pallas bwd in
+  # interpret mode so CPU tests exercise the kernel's grad wiring
+  x, w = res
+  n, l, c = x.shape
+  if ((interpret or use_pallas_pool_bwd())
+      and _pool_bwd_ok(n, l, c, x.dtype.itemsize, has_res=False)):
+    return attn_pool_wlogits_bwd_pallas(x, w, ct, mask_tail,
+                                        interpret=interpret)
   _, vjp = jax.vjp(
       lambda x, w: attn_pool_wlogits_reference(x, w, mask_tail), *res)
   return vjp(ct)
@@ -443,6 +592,15 @@ def _wl_res_fwd(x, res, w, mask_tail, interpret):
 
 
 def _wl_res_bwd(mask_tail, interpret, saved, ct):
+  x, res, w = saved
+  n, l, c = x.shape
+  if ((interpret or use_pallas_pool_bwd())
+      and _pool_bwd_ok(n, l, c, x.dtype.itemsize, has_res=True)):
+    dx, dw = attn_pool_wlogits_bwd_pallas(x, w, ct, mask_tail,
+                                          residual=res,
+                                          interpret=interpret)
+    # the blend consumes only x+residual, so both grads are dx
+    return dx, dx, dw
   _, vjp = jax.vjp(
       lambda x, r, w: attn_pool_wlogits_reference(x, w, mask_tail, r),
       *saved)

@@ -15,7 +15,10 @@ compile time is negligible. Param layout matches flax nn.Conv
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -36,7 +39,19 @@ def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
   f32 MXU accumulation per tap (bf16 preferred_element_type crashed
   the TPU worker), downcast fused into the tap epilogue so inter-tap
   sums stay in the input dtype.
+
+  The no-bias core carries a custom VJP: on TPU its backward runs the
+  fused Pallas dgrad+wgrad kernel (ops/conv1d_bwd_pallas.py) instead of
+  XLA's im2col-cotangent pad/slice chains; the bias add stays outside
+  so its grad is the usual fused reduction.
   """
+  out = _conv_core(x, kernel, dilation)
+  if bias is not None:
+    out = out + bias
+  return out
+
+
+def _conv_impl(x: Array, kernel: Array, dilation: int = 1) -> Array:
   k_taps, c_in, c_out = kernel.shape
   b, l, _ = x.shape
   half = (k_taps - 1) // 2 * dilation
@@ -54,8 +69,7 @@ def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
   live = [(off + half) // dilation
           for off in live_offsets(k_taps, l, dilation)]
   if not live:
-    out = jnp.zeros(x.shape[:-1] + (c_out,), x.dtype)
-    return out + bias if bias is not None else out
+    return jnp.zeros(x.shape[:-1] + (c_out,), x.dtype)
 
   # Two MXU formulations (profiled on v5e):
   #  * im2col-concat: stack the K_live shifts along channels and do ONE
@@ -79,9 +93,37 @@ def conv1d_shifted(x: Array, kernel: Array, bias: Array | None = None,
       tap = jnp.dot(shifted(x, off, None), kernel[k],
                     preferred_element_type=jnp.float32).astype(x.dtype)
       out = tap if out is None else out + tap
-  if bias is not None:
-    out = out + bias
   return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_core(x, kernel, dilation):
+  return _conv_impl(x, kernel, dilation)
+
+
+def _conv_fwd(x, kernel, dilation):
+  return _conv_impl(x, kernel, dilation), (x, kernel)
+
+
+def _conv_bwd(dilation, res, ct):
+  """Fused Pallas dgrad+wgrad on TPU (the Enformer value trunk, DPS /
+  classifier guidance, and the oracle trainer all take jax.grad through
+  these convs); XLA-differentiated reference elsewhere."""
+  x, kernel = res
+  from svdd_tpu.ops.conv1d_bwd_pallas import (conv1d_bwd_pallas,
+                                              conv_bwd_ok,
+                                              use_pallas_conv_bwd)
+  n, l, c_in = x.shape
+  k_taps, _, c_out = kernel.shape
+  if (use_pallas_conv_bwd()
+      and conv_bwd_ok(n, l, c_in, c_out, k_taps, dilation,
+                      x.dtype.itemsize)):
+    return conv1d_bwd_pallas(x, kernel, ct, dilation=dilation)
+  _, vjp = jax.vjp(lambda a, b: _conv_impl(a, b, dilation), x, kernel)
+  return vjp(ct)
+
+
+_conv_core.defvjp(_conv_fwd, _conv_bwd)
 
 
 def conv1d_shifted_lnc(x: Array, kernel: Array,

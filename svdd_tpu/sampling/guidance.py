@@ -299,7 +299,9 @@ def dps_step(denoise_onehot_fn, reward_fn: RewardFn,
       return reward_fn(probs[..., :4]).mean()
 
     x_onehot = jax.nn.one_hot(x, mask_index + 1, dtype=jnp.float32)
-    x_grad = jax.grad(score_mean)(x_onehot)
+    from svdd_tpu.models.blocks import unfused_guard
+    with unfused_guard():
+      x_grad = jax.grad(score_mean)(x_onehot)
 
     log_p0 = denoise_onehot_fn(x_onehot, x, sigma_t_b)
     log_q = mdlm.log_q_xs(log_p0, mct, mcs, mask_index)
@@ -329,7 +331,9 @@ def classifier_step(denoise_fn: DenoiseFn, value_fn_onehot,
     def score_mean(onehot4):
       return value_fn_onehot(onehot4).mean()
 
-    x_grad4 = jax.grad(score_mean)(mdlm.transform_samples(x))
+    from svdd_tpu.models.blocks import unfused_guard
+    with unfused_guard():
+      x_grad4 = jax.grad(score_mean)(mdlm.transform_samples(x))
     x_grad = jnp.concatenate(
         [x_grad4, jnp.zeros_like(x_grad4[..., :1])], axis=-1)
 
