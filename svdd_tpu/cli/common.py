@@ -64,7 +64,11 @@ def make_parser(description: str) -> argparse.ArgumentParser:
                  help='value-net checkpoint (orbax dir or torch .pt)')
   p.add_argument('--pre_model_path', type=str, default=None)
   p.add_argument('--cdq', action='store_true', default=False)
-  p.add_argument('--dist', action='store_true', default=False)
+  p.add_argument('--dist', action='store_true', default=False,
+                 help='value training: shard the self-generated batch '
+                      "over a 'data' mesh of all devices (the "
+                      'reference spawns NCCL DDP here, '
+                      'train.py:36-45,295-300)')
   # new (TPU build) flags
   p.add_argument('--diffusion_checkpoint_path', type=str, default=None,
                  help='pretrained diffusion orbax checkpoint')

@@ -18,13 +18,38 @@ from svdd_tpu.train import value as train_val
 LOGGER = utils.get_logger(__name__)
 
 
+def _build_mesh(args):
+  """--dist: data-parallel mesh over ALL local devices — the TPU
+  equivalent of the reference's mp.spawn NCCL DDP value training
+  (/root/reference/train.py:36-45,295-300). Multi-host slices join via
+  initialize_multihost (jax.distributed replaces the process-group
+  bootstrap)."""
+  if not getattr(args, 'dist', False):
+    return None
+  from svdd_tpu.parallel import mesh as M
+  M.initialize_multihost()
+  mesh = M.make_mesh()
+  if args.batch_size % mesh.shape[M.DATA_AXIS]:
+    raise SystemExit(
+        f'--batch_size {args.batch_size} must divide over the '
+        f"{mesh.shape[M.DATA_AXIS]}-device 'data' axis (the reference "
+        'enforces the same global-batch divisibility, '
+        'dataloader_gosai.py:104-114)')
+  LOGGER.info('--dist: value training over a %s mesh%s',
+              dict(mesh.shape),
+              ' with FSDP param sharding' if getattr(args, 'fsdp', False)
+              else '')
+  return mesh
+
+
 def run(args) -> None:
   cfg = common.task_config(args)
   diffusion = common.load_diffusion(args, cfg)
   reward_fn = common.load_reward_fn(args, cfg)
+  mesh = _build_mesh(args)
 
   if args.model == 'multienformer':
-    _run_multisep(args, cfg, diffusion, reward_fn)
+    _run_multisep(args, cfg, diffusion, reward_fn, mesh)
     return
   vf = common.load_value_function(args, cfg)
 
@@ -42,7 +67,8 @@ def run(args) -> None:
                  if args.task == 'rna_saluki' else None)
   trainer = train_val.ValueTrainer(diffusion, vf, reward_fn, tcfg,
                                    sample_M=args.sample_M,
-                                   saluki_body=saluki_body)
+                                   saluki_body=saluki_body,
+                                   mesh=mesh, fsdp=args.fsdp)
   if args.resume_state_path:
     state = trainer.restore_state(args.resume_state_path,
                                   jax.random.key(args.seed))
@@ -96,7 +122,7 @@ def run(args) -> None:
   logger.finish()
 
 
-def _run_multisep(args, cfg, diffusion, reward_fn) -> None:
+def _run_multisep(args, cfg, diffusion, reward_fn, mesh=None) -> None:
   """--model multienformer (reference train.py:172-178 ->
   BaseModelMultiSep, time-binned trunks)."""
   import jax
@@ -114,7 +140,8 @@ def _run_multisep(args, cfg, diffusion, reward_fn) -> None:
   saluki_body = (common.load_saluki_body(args)
                  if args.task == 'rna_saluki' else None)
   trainer = train_val.MultiSepTrainer(diffusion, msm, reward_fn, tcfg,
-                                      saluki_body=saluki_body)
+                                      saluki_body=saluki_body,
+                                      mesh=mesh)
   state = trainer.init_state(jax.random.key(args.seed))
   state = trainer.train(state, tcfg.max_iter, log_every=args.eval_every)
   if args.save_path:
@@ -135,6 +162,11 @@ def main() -> None:
                            'token counter + rng) for exact resume, '
                            'like the reference trainer.py:73-96 dicts')
   parser.add_argument('--resume_state_path', type=str, default=None)
+  parser.add_argument('--fsdp', action='store_true', default=False,
+                      help='with --dist: shard value-net params + '
+                           "optimizer state over the 'data' axis "
+                           '(ZeRO-style; beyond the reference, which '
+                           'replicates value nets under DDP)')
   run(parser.parse_args())
 
 

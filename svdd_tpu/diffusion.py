@@ -335,11 +335,12 @@ class Diffusion:
 
   def cdq_sampler(self, batch_size: int, *, repeats: int = 10,
                   num_steps: int | None = None, eps: float = 1e-5,
-                  variables: Any | None = None):
+                  variables: Any | None = None, mesh: Any = None):
     """CDQ trajectory collection (_sample(cdq=True),
     diffusion_gosai.py:839-853): returns SampleResult whose ``extra``
     stacks all per-step candidate rollouts (steps, B, M, L) and whose
-    mid_x stacks trajectory states."""
+    mid_x stacks trajectory states. With a mesh the trajectory batch
+    shards over 'data' (DP value training)."""
 
     def build(denoise, den_vars, extra, shard_flat=None):
       aux_init = jnp.zeros(
@@ -349,7 +350,7 @@ class Diffusion:
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, collect_mid=True,
-                             collect_aux=True)
+                             collect_aux=True, mesh=mesh)
 
   def controlled_sampler(self, value_fn, batch_size: int, *,
                          sample_M: int = 10, num_steps: int | None = None,

@@ -68,11 +68,22 @@ class ValueTrainerConfig:
 
 
 class ValueTrainer:
-  """Drives value-net fitting against a frozen Diffusion model."""
+  """Drives value-net fitting against a frozen Diffusion model.
+
+  ``mesh`` distributes the self-generated workload the way the
+  reference's NCCL DDP / DataParallel value training does
+  (/root/reference/train.py:36-45,295-300; trainer.py:65-71): the
+  trajectory batch and every regression row shard over the 'data'
+  axis, and pjit inserts the gradient psum (the DDP all-reduce).
+  ``fsdp=True`` additionally shards value-net params + optimizer state
+  over 'data' (ZeRO-style — beyond the reference, whose value nets are
+  always fully replicated)."""
 
   def __init__(self, diffusion: Diffusion, vf: value_lib.ValueFunction,
                reward_fn, tcfg: ValueTrainerConfig,
-               sample_M: int = 10, saluki_body=None):
+               sample_M: int = 10, saluki_body=None,
+               mesh=None, fsdp: bool = False,
+               fsdp_min_size: int = 2 ** 14):
     # sample_M kept for CLI-surface parity (the reference's train.py
     # accepts it; MC/CDQ training itself doesn't branch on it)
     self.diffusion = diffusion
@@ -85,6 +96,9 @@ class ValueTrainer:
         reward_fn)
     self.tcfg = tcfg
     self.sample_M = sample_M
+    self.mesh = mesh
+    self.fsdp = fsdp
+    self.fsdp_min_size = fsdp_min_size
     self._reward_transform = value_lib.make_reward_transform(
         tcfg.task, saluki_body, tcfg.saluki_final_length)
 
@@ -97,10 +111,10 @@ class ValueTrainer:
     )
     if tcfg.cdq:
       self._sampler = diffusion.cdq_sampler(
-          tcfg.batch_size, repeats=10)
+          tcfg.batch_size, repeats=10, mesh=mesh)
     else:
       self._sampler = diffusion.sampler(tcfg.batch_size,
-                                        collect_mid=True)
+                                        collect_mid=True, mesh=mesh)
     # trajectory generation and the value grad step are SEPARATE jitted
     # programs: fusing them into one (as the first design did) produced
     # a compile unit big enough to break the remote TPU compiler
@@ -124,8 +138,19 @@ class ValueTrainer:
     variables = jax.tree.map(lambda x: jnp.array(x, copy=True),
                              dict(self.vf.variables))
     params = variables.pop('params')
+    opt_state = self.opt.init(params)
+    if self.mesh is not None:
+      from svdd_tpu.parallel import mesh as M
+      if self.fsdp:
+        params = M.fsdp_shard(params, self.mesh, self.fsdp_min_size)
+        opt_state = M.fsdp_shard(opt_state, self.mesh,
+                                 self.fsdp_min_size)
+      else:
+        params = M.replicate(params, self.mesh)
+        opt_state = M.replicate(opt_state, self.mesh)
+      variables = M.replicate(variables, self.mesh)
     return ValueTrainState(jnp.asarray(0), params, variables,
-                           self.opt.init(params), rng, jnp.asarray(0.0))
+                           opt_state, rng, jnp.asarray(0.0))
 
   def _train_step(self, state: ValueTrainState, _):
     """One iteration: sample a trajectory (program 1), then the value
@@ -135,6 +160,23 @@ class ValueTrainer:
     extra = res.extra if self.tcfg.cdq else ()
     return self._grad_step(state, res.samples, res.mid_x, extra,
                            self._reward_vars)
+
+  def _shard_rows(self, batch):
+    """Pin every regression row to the 'data' mesh axis so the value
+    forward/backward splits across devices (the DDP data split,
+    reference trainer.py:65-71); pjit then psums the grads."""
+    if self.mesh is None:
+      return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from svdd_tpu.parallel import mesh as M
+    def sh(x):
+      if x is None:
+        return None
+      spec = P(M.DATA_AXIS, *([None] * (x.ndim - 1)))
+      return jax.lax.with_sharding_constraint(
+          x, NamedSharding(self.mesh, spec))
+    return value_lib.ValueBatch(sh(batch.onehots), sh(batch.targets),
+                                sh(batch.time_indices))
 
   def _make_grad_step(self):
     module = self.vf.module
@@ -156,6 +198,7 @@ class ValueTrainer:
             samples, mid_x, reward_fn, subsample_key=k_sub,
             num_subsample=self.tcfg.mc_subsample,
             reward_transform=self._reward_transform)
+      batch = self._shard_rows(batch)
 
       # timed models take per-state step indices (the reference's
       # TimedEnformer training loop feeds torch.full((B,L), i),
@@ -265,18 +308,19 @@ class MultiSepTrainer:
   bin and each bin's trunk regresses onto the shared final reward."""
 
   def __init__(self, diffusion: Diffusion, msm, reward_fn,
-               tcfg: ValueTrainerConfig, saluki_body=None):
+               tcfg: ValueTrainerConfig, saluki_body=None, mesh=None):
     from svdd_tpu.models import multisep as ms
     self.diffusion = diffusion
     self.msm = msm
     self._reward_apply, self._reward_vars = value_lib.split_reward_fn(
         reward_fn)
     self.tcfg = tcfg
+    self.mesh = mesh
     self._reward_transform = value_lib.make_reward_transform(
         tcfg.task, saluki_body, tcfg.saluki_final_length)
     self.opt = optax.adamw(tcfg.learning_rate)
     self._sampler = diffusion.sampler(tcfg.batch_size,
-                                      collect_mid=True)
+                                      collect_mid=True, mesh=mesh)
     self._multisep_losses = ms.multisep_losses
     self._train_step = jax.jit(self._make_step(), donate_argnums=(0,))
 
@@ -284,7 +328,12 @@ class MultiSepTrainer:
     dummy = jnp.zeros((1, self.diffusion.config.model.length, 4))
     stacked = self.msm.init(rng, dummy)
     stacked = jax.tree.map(lambda x: jnp.array(x, copy=True), stacked)
-    return (jnp.asarray(0), stacked, self.opt.init(stacked), rng)
+    opt_state = self.opt.init(stacked)
+    if self.mesh is not None:
+      from svdd_tpu.parallel import mesh as M
+      stacked = M.replicate(stacked, self.mesh)
+      opt_state = M.replicate(opt_state, self.mesh)
+    return (jnp.asarray(0), stacked, opt_state, rng)
 
   def _make_step(self):
     from svdd_tpu import mdlm as _mdlm
@@ -298,6 +347,14 @@ class MultiSepTrainer:
       onehots = _mdlm.transform_samples(states)            # (S, B, L, 4)
       targets = self._reward_apply(
           reward_vars, self._reward_transform(res.samples))
+      if self.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from svdd_tpu.parallel import mesh as M
+        onehots = jax.lax.with_sharding_constraint(
+            onehots, NamedSharding(self.mesh,
+                                   P(None, M.DATA_AXIS, None, None)))
+        targets = jax.lax.with_sharding_constraint(
+            targets, NamedSharding(self.mesh, P(M.DATA_AXIS)))
 
       def loss_fn(sv):
         losses = self._multisep_losses(self.msm, sv, onehots, targets)

@@ -131,6 +131,35 @@ def test_value_train_cli_smoke(tmp_path):
   assert 'final pearson' in out.stderr + out.stdout
 
 
+def test_value_train_cli_dist_smoke(tmp_path):
+  """cli.train --dist: the flag must actually build the data mesh
+  (VERDICT r3: it used to be parsed and ignored) — run 2 DP iters over
+  4 virtual devices and check the mesh log line; a non-divisible batch
+  must fail loudly."""
+  env = dict(os.environ, JAX_PLATFORMS='cpu')
+  env.pop('PALLAS_AXON_POOL_IPS', None)
+  env['PYTHONPATH'] = REPO
+  env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                      + ' --xla_force_host_platform_device_count=4')
+  save = tmp_path / 'value_ckpt'
+  args = [sys.executable, '-m', 'svdd_tpu.cli.train',
+          '--task', 'rna', '--reward_name', 'MRL', '--dist',
+          '--num_steps', '4', '--length', '12', '--max_iters', '2',
+          '--eval_every', '2', '--save_path', str(save)]
+  out = subprocess.run(args + ['--batch_size', '4'],
+                       capture_output=True, text=True, cwd=REPO,
+                       env=env, timeout=900)
+  assert out.returncode == 0, out.stderr[-2000:]
+  assert '--dist: value training over a' in out.stderr + out.stdout
+  assert save.exists()
+
+  bad = subprocess.run(args + ['--batch_size', '3'],
+                       capture_output=True, text=True, cwd=REPO,
+                       env=env, timeout=900)
+  assert bad.returncode != 0
+  assert 'must divide' in bad.stderr + bad.stdout
+
+
 def test_value_train_cli_saluki_smoke(tmp_path):
   """cli.train --task rna_saluki: MC targets must route the REWARD
   through transform_samples_saluki (padded 6-channel oracle input,
