@@ -1,0 +1,236 @@
+"""Cross-framework END-TO-END decode parity (VERDICT r3 item 2).
+
+The per-module importer tests prove flax == torch for every net; these
+tests close the remaining gap: the WHOLE guided algorithm, run
+head-to-head. The torch side executes the reference's decode loops
+(tests/torch_decode_mirror.py — the line-cited algorithm around the
+reference's OWN models/dnaconv.py CNNModel, imported from
+/root/reference); the jax side decodes with the SAME weights carried
+through importers.cnn. RNG streams differ by construction, so the
+assertion is the BASELINE.json bar: reward-distribution agreement —
+two-sample KS test + quantile tolerances at N=256 per side.
+
+Shared shape: L=16, B=256, steps=8, M=4; value/reward = a fixed linear
+motif score implemented identically in numpy/torch/jax so neither side
+carries net-import noise into the distribution comparison.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+from scipy import stats as sps
+
+import jax
+import jax.numpy as jnp
+
+import torch_decode_mirror as tdm
+
+B, L, STEPS, M = 256, 16, 8, 4
+KS_PVAL = 1e-3
+
+
+def _load_reference_dnaconv():
+  sys.path.insert(0, '/root/reference')
+  try:
+    from models import dnaconv  # type: ignore
+    return dnaconv
+  finally:
+    sys.path.pop(0)
+
+
+@pytest.fixture(scope='module')
+def harness():
+  """Build the shared-weight denoiser pair + the linear value/reward."""
+  dnaconv = _load_reference_dnaconv()
+  args = types.SimpleNamespace(
+      clean_data=False, hidden_dim=32, num_cnn_stacks=1, dropout=0.0,
+      cls_free_guidance=False)
+  torch.manual_seed(7)
+  tmodel = dnaconv.CNNModel(args, alphabet_size=5, num_cls=3)
+  # sharpen the random denoiser so p(x0|xt) is peaked and the decode
+  # dynamics (carry-over, q_xs mass split) actually matter
+  with torch.no_grad():
+    tmodel.final_conv[2].weight *= 3.0
+  tmodel.eval()
+  tden = tdm.TorchDenoiser(tmodel, time_conditioning=False)
+
+  from svdd_tpu.config import tiny_test_config
+  from svdd_tpu.diffusion import Diffusion
+  from svdd_tpu.importers.cnn import import_cnn_params
+  cfg = tiny_test_config('rna')
+  cfg.model.hidden_dim = 32
+  cfg.model.num_cnn_stacks = 1
+  cfg.model.length = L
+  cfg.sampling.steps = STEPS
+  jmodel = Diffusion(cfg, rng=jax.random.key(0))
+  sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+  jmodel.variables = import_cnn_params(sd, num_layers=5)
+
+  W = np.random.default_rng(3).normal(size=(L, 4)).astype(np.float32)
+  return types.SimpleNamespace(tden=tden, jmodel=jmodel, cfg=cfg, W=W)
+
+
+def _torch_value(W):
+  W_t = torch.tensor(W)
+
+  def fn(x):
+    oh = tdm.transform_samples(x) if not x.dtype.is_floating_point else x
+    return (oh * W_t).sum(dim=(-1, -2))
+  return fn
+
+
+def _torch_reward(W):
+  W_t = torch.tensor(W)
+  return lambda oh: (oh * W_t).sum(dim=(-1, -2))
+
+
+def _jax_reward(W):
+  W_j = jnp.asarray(W)
+  return lambda oh: (oh * W_j).sum(axis=(-1, -2))
+
+
+def _rewards_np(tokens, W):
+  keep = (np.asarray(tokens) != 4)
+  oh = np.eye(4, dtype=np.float32)[np.clip(tokens, 0, 3)] \
+      * keep[..., None]
+  return (oh * W).sum(axis=(-1, -2))
+
+
+def _assert_distributions_agree(got, want, label,
+                                q_tol_scale: float = 0.35):
+  """KS two-sample + q50/q80 agreement, tolerance scaled to the
+  pooled spread (the BASELINE.md claim structure)."""
+  ks = sps.ks_2samp(got, want)
+  scale = max(np.std(np.concatenate([got, want])), 1e-6)
+  q_got = np.quantile(got, [0.5, 0.8])
+  q_want = np.quantile(want, [0.5, 0.8])
+  assert ks.pvalue > KS_PVAL, (
+      f'{label}: KS stat {ks.statistic:.3f} p {ks.pvalue:.2g}; '
+      f'q50/q80 jax {q_got} vs torch-reference {q_want}')
+  np.testing.assert_allclose(
+      q_got, q_want, atol=q_tol_scale * scale,
+      err_msg=f'{label}: quantile drift (pooled std {scale:.3f})')
+
+
+def _decode_pair(h, algo, jax_sampler_fn, **mirror_kwargs):
+  torch.manual_seed(11)
+  np.random.seed(11)
+  t_tokens = tdm.decode(h.tden, algo, B, L, STEPS, **mirror_kwargs)
+  j_tokens = np.asarray(jax_sampler_fn(jax.random.key(5)).samples)
+  assert (j_tokens != 4).all() and (np.asarray(t_tokens) != 4).all()
+  return (_rewards_np(j_tokens, h.W),
+          _rewards_np(np.asarray(t_tokens), h.W))
+
+
+def test_baseline_matches_reference(harness):
+  h = harness
+  sampler = h.jmodel.sampler(B, num_steps=STEPS)
+  got, want = _decode_pair(h, 'baseline', sampler)
+  _assert_distributions_agree(got, want, 'uncontrolled ddpm')
+
+
+def test_svdd_mc_matches_reference(harness):
+  h = harness
+  W_j = jnp.asarray(h.W)
+  from svdd_tpu import mdlm
+  value_tok = lambda toks: (mdlm.transform_samples(toks)
+                            * W_j).sum(axis=(-1, -2))
+  sampler = h.jmodel.controlled_sampler(value_tok, B, sample_M=M,
+                                        num_steps=STEPS)
+  got, want = _decode_pair(h, 'mc', sampler, value_fn=_torch_value(h.W),
+                           sample_M=M)
+  base = _rewards_np(
+      np.asarray(h.jmodel.sampler(B, num_steps=STEPS)(
+          jax.random.key(6)).samples), h.W)
+  _assert_distributions_agree(got, want, 'SVDD-MC')
+  # and the guidance actually moved the distribution on BOTH sides
+  assert np.median(got) > np.median(base) + 0.5
+  assert np.median(want) > np.median(base) + 0.5
+
+
+def test_svdd_pm_tweedie_matches_reference(harness):
+  h = harness
+  sampler = h.jmodel.tweedie_sampler(_jax_reward(h.W), B, sample_M=M,
+                                     tweedie=True, num_steps=STEPS)
+  got, want = _decode_pair(h, 'pm', sampler,
+                           reward_fn=_torch_reward(h.W),
+                           sample_M=M, tweedie=True)
+  _assert_distributions_agree(got, want, 'SVDD-PM tweedie')
+
+
+def test_svdd_pm_heuristic_matches_reference(harness):
+  h = harness
+  sampler = h.jmodel.tweedie_sampler(_jax_reward(h.W), B, sample_M=M,
+                                     tweedie=False, num_steps=STEPS)
+  got, want = _decode_pair(h, 'pm', sampler,
+                           reward_fn=_torch_reward(h.W),
+                           sample_M=M, tweedie=False)
+  _assert_distributions_agree(got, want, 'SVDD-PM heuristic')
+
+
+def test_tds_matches_reference(harness):
+  """TDS needs special statistical handling: systematic resampling
+  CORRELATES the particles (bootstrap ancestry), so a single run's
+  empirical distribution is high-variance — at the reference's
+  alpha=0.5 with this reward scale the batch degenerates to ESS~1 and
+  even two reference runs disagree wildly. Compare at an alpha with
+  healthy ESS, pooled over 4 independent runs per side, on the
+  run-median statistic."""
+  h = harness
+  alpha = 5.0
+  sampler = h.jmodel.tds_sampler(_jax_reward(h.W), B, alpha=alpha,
+                                 num_steps=STEPS)
+  t_medians, j_medians = [], []
+  pooled_t, pooled_j = [], []
+  for seed in range(4):
+    torch.manual_seed(11 + seed)
+    np.random.seed(11 + seed)
+    t_tokens = np.asarray(tdm.decode(
+        h.tden, 'tds', B, L, STEPS, reward_fn=_torch_reward(h.W),
+        alpha=alpha))
+    j_tokens = np.asarray(sampler(jax.random.key(50 + seed)).samples)
+    assert (j_tokens != 4).all() and (t_tokens != 4).all()
+    rt, rj = _rewards_np(t_tokens, h.W), _rewards_np(j_tokens, h.W)
+    t_medians.append(np.median(rt))
+    j_medians.append(np.median(rj))
+    pooled_t.append(rt)
+    pooled_j.append(rj)
+  # run-median agreement (within-framework seed spread is ~0.6-1.5
+  # here; the two frameworks' per-seed medians interleave)
+  assert abs(np.mean(j_medians) - np.mean(t_medians)) < 1.2, (
+      f'TDS medians diverged: jax {j_medians} vs torch {t_medians}')
+  ks = sps.ks_2samp(np.concatenate(pooled_j), np.concatenate(pooled_t))
+  assert ks.statistic < 0.15, (
+      f'TDS pooled KS stat {ks.statistic:.3f} '
+      f'(jax medians {j_medians} vs torch {t_medians})')
+  # guidance moved both sides above their (shared) baseline
+  base = _rewards_np(
+      np.asarray(h.jmodel.sampler(B, num_steps=STEPS)(
+          jax.random.key(6)).samples), h.W)
+  assert np.mean(j_medians) > np.median(base) + 1.0
+  assert np.mean(t_medians) > np.median(base) + 1.0
+
+
+def test_dps_matches_reference(harness):
+  h = harness
+  sampler = h.jmodel.dps_sampler(_jax_reward(h.W), B,
+                                 guidance_scale=2.0, num_steps=STEPS)
+  got, want = _decode_pair(h, 'dps', sampler,
+                           reward_fn=_torch_reward(h.W),
+                           guidance_scale=2.0)
+  _assert_distributions_agree(got, want, 'DPS')
+
+
+def test_classifier_matches_reference(harness):
+  h = harness
+  sampler = h.jmodel.classifier_sampler(_jax_reward(h.W), B,
+                                        guidance_scale=2.0,
+                                        num_steps=STEPS)
+  got, want = _decode_pair(h, 'classifier', sampler,
+                           value_fn=_torch_value(h.W),
+                           guidance_scale=2.0)
+  _assert_distributions_agree(got, want, 'classifier guidance')
