@@ -50,22 +50,31 @@ def test_guided_ordering_midscale():
   value_fn = lambda tok: reward_fn(mdlm.transform_samples(tok))
 
   B, M = 64, 4
-  mc = run_decode(model, reward_fn, algo='svdd_mc', value_fn=value_fn,
-                  gen_batch_num=1, batch_size=B, sample_M=M, seed=11)
-  pm = run_decode(model, reward_fn, algo='svdd_pm', gen_batch_num=1,
-                  batch_size=B, sample_M=M, seed=11,
-                  skip_best_of_n=True)
+  mc_lifts, pm_lifts, bons, bases = [], [], [], []
+  for seed in (11, 12, 13):
+    mc = run_decode(model, reward_fn, algo='svdd_mc',
+                    value_fn=value_fn, gen_batch_num=1, batch_size=B,
+                    sample_M=M, seed=seed)
+    pm = run_decode(model, reward_fn, algo='svdd_pm', gen_batch_num=1,
+                    batch_size=B, sample_M=M, seed=seed,
+                    skip_best_of_n=True)
+    base = _q50(mc.baseline_preds)
+    bases.append(base)
+    mc_lifts.append(_q50(mc.reward_preds) - base)
+    pm_lifts.append(_q50(pm.reward_preds) - base)
+    bons.append(_q50(mc.top_k) - base)
 
-  base, mc_q, pm_q = (_q50(mc.baseline_preds), _q50(mc.reward_preds),
-                      _q50(pm.reward_preds))
-  bon = _q50(mc.top_k)
-  # tolerances: guided medians must beat baseline by a real margin;
-  # best-of-N must at least clear baseline (it is an order statistic
-  # of the SAME distribution, so any regression below baseline means
-  # the fold/top-k machinery broke)
-  assert mc_q > base + 0.05, (base, mc_q)
-  assert pm_q > base + 0.05, (base, pm_q)
-  assert bon > base, (base, bon)
+  mc_lift, pm_lift = float(np.mean(mc_lifts)), float(np.mean(pm_lifts))
+  # REGRESSION-PINNED lift bands (VERDICT r3 item 6): the current code
+  # measures mean-of-3-seed q50 lifts MC ~0.52, PM ~0.13 (per-seed
+  # spread ±0.06). The bands catch quality degradation — a kernel
+  # change that halves the MC lift fails the lower bound — while the
+  # upper bound flags a broken-oracle/eval change inflating scores.
+  assert 0.30 < mc_lift < 0.80, (bases, mc_lifts)
+  assert 0.06 < pm_lift < 0.30, (bases, pm_lifts)
+  # best-of-N must clear baseline (it is an order statistic of the
+  # SAME distribution; below-baseline means the fold/top-k broke)
+  assert np.mean(bons) > 0, (bases, bons)
 
 
 def test_demo_artifact_ordering():
