@@ -68,19 +68,28 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def fsdp_spec(x: Any, mesh: Mesh, min_size: int = 2 ** 14) -> P:
-  """FSDP rule: shard the largest divisible axis of big params over
-  'data'; small params stay replicated (matches SHARD_GRAD_OP's
-  grad/opt-state sharding intent, configs_gosai/strategy/fsdp.yaml)."""
+  """FSDP rule: shard the FIRST (major-most) divisible axis of big
+  params over 'data'; small params stay replicated (matches
+  SHARD_GRAD_OP's grad/opt-state sharding intent,
+  configs_gosai/strategy/fsdp.yaml).
+
+  Major-most matters: shards of the leading axis are CONTIGUOUS in the
+  row-major layout, so XLA's all-gather-at-use / grad-reduce lower
+  cleanly. The r3 rule (largest axis, often the minor-most channel
+  dim) forced strided gathers that XLA implemented as all-to-all +
+  collective-permute chains — 57.0 MB/step vs 2.45 MB/step for this
+  rule on the identical train step (scripts/probe_fsdp_spec.py,
+  HLO-counted on the virtual 8-device mesh; 23x less traffic). This
+  also naturally shards nn.scan-stacked layer params on the layer
+  axis (one layer group per device), the cheapest ZeRO layout."""
   n_data = mesh.shape[DATA_AXIS]
   if x.ndim == 0 or x.size < min_size:
     return P()
-  # choose the largest axis divisible by the data-axis size
-  cands = [(dim, i) for i, dim in enumerate(x.shape) if dim % n_data == 0]
+  cands = [i for i, dim in enumerate(x.shape) if dim % n_data == 0]
   if not cands:
     return P()
-  _, axis = max(cands)
   spec = [None] * x.ndim
-  spec[axis] = DATA_AXIS
+  spec[cands[0]] = DATA_AXIS
   return P(*spec)
 
 
