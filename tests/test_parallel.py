@@ -708,3 +708,30 @@ def test_value_cdq_dp_train_matches_single_device():
     sd, loss_dp = t_dp._train_step(sd, None)
   np.testing.assert_allclose(float(loss_dp), float(loss_single),
                              rtol=1e-5)
+
+
+def test_multisep_dp_train_matches_single_device():
+  """MultiSep (time-binned trunks) under the DP mesh: per-bin losses
+  and the mean loss match single-device."""
+  from svdd_tpu.models.convgru import ConvGRUValueModel
+  from svdd_tpu.models.multisep import MultiSepValueModel
+  from svdd_tpu import rewards
+  from svdd_tpu.train import value as train_val
+  cfg = tiny_test_config('rna')
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  reward_fn = rewards.synthetic_motif_oracle(cfg.model.length)
+  msm = MultiSepValueModel(ConvGRUValueModel(), n_models=2,
+                           num_steps=cfg.sampling.steps)
+  tcfg = train_val.ValueTrainerConfig(batch_size=8, learning_rate=1e-3)
+
+  t_single = train_val.MultiSepTrainer(model, msm, reward_fn, tcfg)
+  s = t_single.init_state(jax.random.key(3))
+  s, (loss_s, _) = t_single._train_step(s, t_single._reward_vars)
+
+  mesh = M.make_mesh()
+  t_dp = train_val.MultiSepTrainer(model, msm, reward_fn, tcfg,
+                                   mesh=mesh)
+  sd = t_dp.init_state(jax.random.key(3))
+  with mesh:
+    sd, (loss_d, _) = t_dp._train_step(sd, t_dp._reward_vars)
+  np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
