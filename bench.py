@@ -287,6 +287,31 @@ def aot_wrap(sampler, args, phase):
     return sampler
 
 
+def _emit(result: dict, save_json) -> None:
+  """Print the driver's one-line JSON; optionally append it (plus
+  timestamp + git rev) to a provenance file (ADVICE r3: quoted bench
+  numbers need a committed measurement artifact)."""
+  print(json.dumps(result))
+  if not save_json:
+    return
+  import datetime
+  import subprocess
+  row = dict(result)
+  row['timestamp'] = datetime.datetime.now().isoformat(
+      timespec='seconds')
+  try:
+    row['git_rev'] = subprocess.run(
+        ['git', 'rev-parse', '--short', 'HEAD'], capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__))).stdout.strip()
+  except OSError:
+    pass
+  path = os.path.abspath(save_json)
+  os.makedirs(os.path.dirname(path), exist_ok=True)
+  with open(path, 'a') as f:
+    f.write(json.dumps(row) + '\n')
+
+
 def main() -> None:
   p = argparse.ArgumentParser()
   # 512 is the single-chip throughput sweet spot (22.3 vs 20.5
@@ -311,6 +336,11 @@ def main() -> None:
                       'includes its self-generated MC trajectory)')
   p.add_argument('--small', action='store_true',
                  help='tiny CPU self-test preset')
+  p.add_argument('--save_json', type=str, default=None,
+                 help='also append the result line (plus timestamp + '
+                      'git rev) to this file — measurement provenance '
+                      'for numbers quoted in TODO.md/PARITY.md '
+                      '(convention: log/bench/<algo>.jsonl)')
   p.add_argument('--assumed_ref_mfu', type=float,
                  default=ASSUMED_REFERENCE_MFU,
                  help='assumed MFU of the reference torch loop on an '
@@ -367,13 +397,13 @@ def main() -> None:
     phase(f'{args.iters} timed steps done ({dt:.2f}s, '
           f'loss {float(loss):.4f})')
     seqs = args.batch_size * args.iters / dt / n_chips
-    print(json.dumps({
+    _emit({
         'metric': f'{args.algo} step throughput (B={args.batch_size}, '
                   f'L={args.length})',
         'value': round(seqs, 3),
         'unit': 'seqs/sec/chip',
         'vs_baseline': 0.0,
-    }))
+    }, args.save_json)
     return
 
   sampler = build_workload(args.batch_size, args.sample_M, args.steps,
@@ -441,7 +471,7 @@ def main() -> None:
   else:
     vs_baseline = 0.0
 
-  print(json.dumps({
+  _emit({
       'metric': f'{args.algo.upper().replace("_", "-")} decode throughput '
                 f'(B={args.batch_size}, M={args.sample_M}, '
                 f'steps={args.steps}, L={args.length})',
@@ -455,7 +485,7 @@ def main() -> None:
           f'reference on A100 at {args.assumed_ref_mfu:.0%} MFU '
           f'(TF32 peak {A100_TF32_FLOPS/1e12:.0f} TF/s)',
       'vs_baseline_at_mfu': sensitivity,
-  }))
+  }, args.save_json)
 
 
 if __name__ == '__main__':
