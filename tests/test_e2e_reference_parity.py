@@ -234,3 +234,24 @@ def test_classifier_matches_reference(harness):
                            value_fn=_torch_value(h.W),
                            guidance_scale=2.0)
   _assert_distributions_agree(got, want, 'classifier guidance')
+
+
+def test_analytic_sampler_matches_reference(harness):
+  """The analytic (score-based) sampler: pins get_score /
+  staggered_score / transp_transition semantics end-to-end across
+  frameworks (diffusion_gosai.py:1581-1658)."""
+  h = harness
+  cfg = h.cfg.override()
+  cfg.sampling.predictor = 'analytic'
+  from svdd_tpu.diffusion import Diffusion
+  jm = Diffusion(cfg, rng=jax.random.key(0))
+  jm.variables = h.jmodel.variables
+  sampler = jm.sampler(B, num_steps=STEPS)
+
+  torch.manual_seed(11)
+  t_tokens = tdm.decode_analytic(h.tden, B, L, STEPS)
+  j_tokens = np.asarray(sampler(jax.random.key(5)).samples)
+  assert (j_tokens != 4).all() and (np.asarray(t_tokens) != 4).all()
+  _assert_distributions_agree(_rewards_np(j_tokens, h.W),
+                              _rewards_np(np.asarray(t_tokens), h.W),
+                              'analytic sampler')

@@ -128,6 +128,60 @@ def _posterior_onehot(log_p: torch.Tensor,
   return copy * actual + (1 - copy) * posterior
 
 
+def get_score(denoiser: TorchDenoiser, x: torch.Tensor,
+              sigma: float) -> torch.Tensor:
+  """SUBS score exp(log p_t(y)/p_t(x)) (diffusion_gosai.py:1581-1624)."""
+  log_p = denoiser.forward(x, sigma)
+  log_k = float(-np.log(np.expm1(sigma)))
+  masked_score = log_p + log_k
+  masked_score[:, :, MASK] = 0
+  unmasked_score = torch.full_like(log_p, NEG_INFINITY)
+  unmasked_score = torch.scatter(
+      unmasked_score, -1, x[..., None],
+      torch.zeros_like(unmasked_score[..., :1]))
+  unmasked_score[:, :, MASK] = -log_k
+  masked = (x == MASK)[..., None].float()
+  return (masked_score * masked + unmasked_score * (1 - masked)).exp()
+
+
+def staggered_score(score: torch.Tensor, dsigma: float) -> torch.Tensor:
+  """(diffusion_gosai.py:1626-1631)."""
+  score = score.clone()
+  extra = (1 - np.exp(dsigma)) * score.sum(dim=-1)
+  score = score * np.exp(dsigma)
+  score[..., MASK] += extra
+  return score
+
+
+def transp_transition(i: torch.Tensor, sigma: float) -> torch.Tensor:
+  """(diffusion_gosai.py:1651-1658)."""
+  edge = np.exp(-sigma) * F.one_hot(i, num_classes=VOCAB).float()
+  edge = edge + torch.where(i == MASK, 1 - np.exp(-sigma),
+                            0.0)[..., None]
+  return edge
+
+
+def decode_analytic(denoiser: TorchDenoiser, batch_size: int,
+                    length: int, num_steps: int,
+                    eps: float = 1e-5) -> torch.Tensor:
+  """Uncontrolled analytic (score-based) sampler + denoiser noise
+  removal (diffusion_gosai.py:1633-1649; loop scaffold :821-886)."""
+  x = torch.full((batch_size, length), MASK, dtype=torch.long)
+  timesteps = np.linspace(1.0, eps, num_steps + 1)
+  for i in range(num_steps):
+    curr = loglinear_sigma(float(timesteps[i]))
+    nxt = loglinear_sigma(float(timesteps[i + 1]))
+    score = get_score(denoiser, x, curr)
+    probs = staggered_score(score, curr - nxt) \
+        * transp_transition(x, curr - nxt)
+    x = sample_categorical(probs)
+  sigma = loglinear_sigma(float(timesteps[-1]))
+  probs = staggered_score(get_score(denoiser, x, sigma), sigma) \
+      * transp_transition(x, sigma)
+  probs[..., MASK] = 0
+  return sample_categorical(probs)
+
+
 def decode(denoiser: TorchDenoiser, algo: str, batch_size: int,
            length: int, num_steps: int, *, value_fn=None,
            reward_fn=None, sample_M: int = 10, alpha: float = 1.0,
