@@ -79,8 +79,12 @@ def test_guided_ordering_midscale():
 
 def test_demo_artifact_ordering():
   """The committed hardware demo npz artifacts must show the
-  reference's ordering (BASELINE.md: baseline < best-of-N < SVDD);
-  regenerate with scripts/demo_rna_pipeline.py on the TPU."""
+  reference's ordering (BASELINE.md: baseline < best-of-N < SVDD)
+  AND a pinned minimum lift (VERDICT r3 weak #3: ordering-only waves
+  through a 30% degradation) — the committed RNA run measured
+  baseline q50 0.01 / MC 6.84 / PM 9.51, so a refreshed artifact with
+  less than half that lift fails here. Regenerate with
+  scripts/demo_rna_pipeline.py on the TPU."""
   mc_path = os.path.join(REPO, 'log', 'demo-rna-MRL.npz')
   pm_path = os.path.join(REPO, 'log', 'demo-rna-MRL_tw.npz')
   if not (os.path.exists(mc_path) and os.path.exists(pm_path)):
@@ -89,5 +93,24 @@ def test_demo_artifact_ordering():
   mc = np.load(mc_path)
   pm = np.load(pm_path)
   base = _q50(mc['baseline'])
-  assert _q50(mc['decoding']) > base
-  assert _q50(pm['decoding']) > base
+  assert _q50(mc['decoding']) > base + 3.5, (base, _q50(mc['decoding']))
+  assert _q50(pm['decoding']) > base + 5.0, (base, _q50(pm['decoding']))
+
+
+def test_demo_artifact_ordering_dna():
+  """Same gate for the flagship DNA artifacts (VERDICT r3 item 3:
+  the README's DNA claim was doc-only). The recorded hardware run
+  measured baseline q50 -1.41 / best-of-N 2.81 / SVDD-PM 8.44 /
+  SVDD-MC 9.94 (log/demo_dna_pipeline.json); bands allow run-to-run
+  spread but fail on a halved lift. Regenerate with
+  scripts/demo_dna_pipeline.py on the TPU."""
+  mc_path = os.path.join(REPO, 'log', 'demo-dna-HepG2.npz')
+  pm_path = os.path.join(REPO, 'log', 'demo-dna-HepG2_tw.npz')
+  if not (os.path.exists(mc_path) and os.path.exists(pm_path)):
+    pytest.skip('DNA demo artifacts not present (run '
+                'scripts/demo_dna_pipeline.py on hardware)')
+  mc = np.load(mc_path)
+  pm = np.load(pm_path)
+  base = _q50(mc['baseline'])
+  assert _q50(mc['decoding']) > base + 6.0, (base, _q50(mc['decoding']))
+  assert _q50(pm['decoding']) > base + 5.0, (base, _q50(pm['decoding']))
