@@ -55,3 +55,45 @@ def test_importance_transform_endpoints():
   out = s.importance_transform(t)
   assert float(out[0]) >= 0.0
   assert float(out[1]) <= 1.0 + 1e-6
+
+
+def test_all_schedules_match_reference_module():
+  """Pin every schedule against the REFERENCE'S OWN noise_schedule.py
+  (torch-only, imported directly from /root/reference): total_noise
+  and rate_noise agree on a t grid for all five schedule types."""
+  import sys
+  import numpy as np
+  import pytest
+  torch = pytest.importorskip('torch')
+  sys.path.insert(0, '/root/reference')
+  try:
+    import noise_schedule as ref_ns
+  finally:
+    sys.path.pop(0)
+  import types
+  from svdd_tpu import schedules
+
+  t = np.linspace(0.01, 0.99, 23).astype(np.float32)
+  t_t = torch.tensor(t)
+  # sigma_min/max per the reference's config yamls
+  # (configs_gosai/noise/geometric.yaml: 1e-4/20;
+  #  configs_gosai/noise/linear.yaml: 1e-3/7.0)
+  cases = [
+      ('loglinear', ref_ns.LogLinearNoise(), {}),
+      ('cosine', ref_ns.CosineNoise(), {}),
+      ('cosinesqr', ref_ns.CosineSqrNoise(), {}),
+      ('linear', ref_ns.Linear(sigma_min=1e-3, sigma_max=7.0),
+       dict(sigma_min=1e-3, sigma_max=7.0)),
+      ('geometric', ref_ns.GeometricNoise(sigma_min=1e-4,
+                                          sigma_max=20.0),
+       dict(sigma_min=1e-4, sigma_max=20.0)),
+  ]
+  for name, ref, kw in cases:
+    sched = schedules.get_schedule(name, **kw)
+    total, rate = sched(t)
+    np.testing.assert_allclose(
+        np.asarray(total), ref.total_noise(t_t).numpy(),
+        rtol=2e-5, atol=2e-6, err_msg=f'{name} total_noise')
+    np.testing.assert_allclose(
+        np.asarray(rate), ref.rate_noise(t_t).numpy(),
+        rtol=2e-5, atol=2e-6, err_msg=f'{name} rate_noise')
