@@ -255,3 +255,98 @@ def test_analytic_sampler_matches_reference(harness):
   _assert_distributions_agree(_rewards_np(j_tokens, h.W),
                               _rewards_np(np.asarray(t_tokens), h.W),
                               'analytic sampler')
+
+
+def _mid_state(batch=6):
+  """A deterministic partially-masked state."""
+  torch.manual_seed(3)
+  x_t = torch.randint(0, 5, (batch, L))
+  return x_t, jnp.asarray(x_t.numpy())
+
+
+def test_dps_gradient_exact_parity(harness):
+  """DETERMINISTIC cross-framework check of the DPS gradient (the
+  SURVEY §7.3 'easy to get subtly wrong' semantics: grad wrt the FULL
+  5-channel one-hot through forward2 + copy-merge + softmax, then
+  mask-column recentering): torch autograd through the reference's
+  CNNModel.forward2 must equal jax.grad through the imported flax
+  forward_onehot, elementwise."""
+  import torch.nn.functional as F
+  h = harness
+  x_t, x_j = _mid_state()
+  b = x_t.shape[0]
+  sigma_s = tdm.loglinear_sigma(0.4)
+  W_t, W_j = torch.tensor(h.W), jnp.asarray(h.W)
+
+  # torch side (mirror of compute_gradient_DPS, diffusion_gosai.py:1321)
+  x_onehot = F.one_hot(x_t, 5).float().requires_grad_(True)
+  copy = (x_t != 4).float()[..., None]
+  expected = h.tden.forward2(x_onehot, x_t, sigma_s)
+  expected = copy * x_onehot + (1 - copy) * expected
+  probs = expected.softmax(dim=-1)
+  (probs[..., :4] * W_t).sum(dim=(-1, -2)).mean().backward()
+  want = x_onehot.grad.numpy()
+
+  # jax side (guidance.dps_step's score_mean)
+  copy_j = (x_j != 4).astype(jnp.float32)[..., None]
+  sigma_b = jnp.full((b,), sigma_s)
+
+  def score_mean(oh):
+    exp_j = h.jmodel.forward_onehot(h.jmodel.variables, oh, x_j,
+                                    sigma_b)
+    exp_j = copy_j * oh + (1 - copy_j) * exp_j
+    p = jax.nn.softmax(exp_j, axis=-1)
+    return ((p[..., :4] * W_j).sum(axis=(-1, -2))).mean()
+
+  got = np.asarray(jax.grad(score_mean)(
+      jax.nn.one_hot(x_j, 5, dtype=jnp.float32)))
+  np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_tds_ratio_components_exact_parity(harness):
+  """DETERMINISTIC cross-framework check of the TDS importance-weight
+  pieces: reward_num / reward_den (tweedie posterior onehots at
+  sigma_s) computed on the same (x, sample) pair agree elementwise
+  (diffusion_gosai.py:1260-1281)."""
+  from svdd_tpu.sampling import guidance as G
+  h = harness
+  x_t, x_j = _mid_state()
+  b = x_t.shape[0]
+  sigma_s = tdm.loglinear_sigma(0.3)
+  torch.manual_seed(4)
+  sample_t = torch.where(x_t != 4, x_t,
+                         torch.randint(0, 4, x_t.shape))
+  sample_j = jnp.asarray(sample_t.numpy())
+  W_t = torch.tensor(h.W)
+
+  num_t = ((tdm._posterior_onehot(h.tden.forward(sample_t, sigma_s),
+                                  sample_t) * W_t)
+           .sum(dim=(-1, -2)).numpy())
+  den_t = ((tdm._posterior_onehot(h.tden.forward(x_t, sigma_s), x_t)
+            * W_t).sum(dim=(-1, -2)).numpy())
+
+  den_fn = lambda xx, ss: h.jmodel.forward(h.jmodel.variables, xx, ss)
+  sigma_b = jnp.full((b,), sigma_s)
+  rj = _jax_reward(h.W)
+  num_j = np.asarray(rj(G._posterior_onehot(
+      den_fn(sample_j, sigma_b), sample_j, 4)))
+  den_j = np.asarray(rj(G._tweedie_posterior_onehot(
+      den_fn, x_j, sigma_b, 4)))
+  np.testing.assert_allclose(num_j, num_t, atol=1e-4, rtol=1e-4)
+  np.testing.assert_allclose(den_j, den_t, atol=1e-4, rtol=1e-4)
+
+
+def test_q_xs_exact_parity(harness):
+  """DETERMINISTIC check of the reverse-transition density q_xs on the
+  same state: mirror probs == exp of our log_q (diffusion_gosai.py:
+  1185-1197 vs mdlm.log_q_xs)."""
+  from svdd_tpu import mdlm
+  h = harness
+  x_t, x_j = _mid_state()
+  t, t_next = 0.6, 0.5
+  sigma_t, sigma_s, mct, mcs = tdm._move_chances(t, t_next)
+  q_t = tdm._q_xs(h.tden.forward(x_t, sigma_t), mct, mcs).numpy()
+  log_p_j = h.jmodel.forward(h.jmodel.variables, x_j,
+                             jnp.full((x_t.shape[0],), sigma_t))
+  q_j = np.asarray(jnp.exp(mdlm.log_q_xs(log_p_j, mct, mcs, 4)))
+  np.testing.assert_allclose(q_j, q_t, atol=1e-5, rtol=1e-4)
