@@ -99,11 +99,12 @@ def test_demo_artifact_ordering():
 
 def test_demo_artifact_ordering_dna():
   """Same gate for the flagship DNA artifacts (VERDICT r3 item 3:
-  the README's DNA claim was doc-only). The recorded hardware run
-  measured baseline q50 -1.41 / best-of-N 2.81 / SVDD-PM 8.44 /
-  SVDD-MC 9.94 (log/demo_dna_pipeline.json); bands allow run-to-run
-  spread but fail on a halved lift. Regenerate with
-  scripts/demo_dna_pipeline.py on the TPU."""
+  the README's DNA claim was doc-only). The COMMITTED r4 hardware run
+  measured baseline q50 -0.85 / best-of-N 3.16 / SVDD-PM 8.66 /
+  SVDD-MC 11.56 (log/demo_dna_pipeline.json; earlier uncommitted runs
+  9.94/8.44 and 14.44/10.38); bands allow run-to-run spread but fail
+  on a halved lift. Regenerate with scripts/demo_dna_pipeline.py on
+  the TPU."""
   mc_path = os.path.join(REPO, 'log', 'demo-dna-HepG2.npz')
   pm_path = os.path.join(REPO, 'log', 'demo-dna-HepG2_tw.npz')
   if not (os.path.exists(mc_path) and os.path.exists(pm_path)):
