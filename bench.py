@@ -389,14 +389,25 @@ def main() -> None:
     state, loss = step(state)
     np.asarray(loss)
     phase('compile + warmup step done')
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-      state, loss = step(state)
-    np.asarray(loss)
-    dt = time.perf_counter() - t0
-    phase(f'{args.iters} timed steps done ({dt:.2f}s, '
-          f'loss {float(loss):.4f})')
-    seqs = args.batch_size * args.iters / dt / n_chips
+    # A train step is short (tens of ms) next to the axon tunnel's
+    # fixed result-fetch latency (~30-40 ms) and variable per-dispatch
+    # tax (CLAUDE.md: 0-25 ms) — timing a handful of steps understates
+    # throughput by 30%+. Amortize: several trials of many steps
+    # chained device-side (state carries; one host fetch per trial),
+    # then best-trial, mirroring the decode branch's min-of-N.
+    steps_per_trial = max(args.iters, 20)
+    trial_times = []
+    for _ in range(3):
+      t0 = time.perf_counter()
+      for _ in range(steps_per_trial):
+        state, loss = step(state)
+      np.asarray(loss)
+      trial_times.append(time.perf_counter() - t0)
+    dt = min(trial_times)
+    phase(f'3 trials x {steps_per_trial} steps done '
+          f'({", ".join(f"{t:.2f}" for t in trial_times)}s; '
+          f'best {dt:.2f}s, loss {float(loss):.4f})')
+    seqs = args.batch_size * steps_per_trial / dt / n_chips
     _emit({
         'metric': f'{args.algo} step throughput (B={args.batch_size}, '
                   f'L={args.length})',
