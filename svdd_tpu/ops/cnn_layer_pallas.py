@@ -394,6 +394,23 @@ def use_pallas_cnn_bwd() -> bool:
   return os.environ.get('SVDD_PALLAS_CNN_BWD', '1') == '1'
 
 
+# Mosaic compile cost for the fused BACKWARD kernel explodes at short
+# lengths: ONE (64, 50, 128) d=1 bwd kernel takes 447 s to compile
+# standalone (N=8 variant >500 s), and the ~5 distinct-dilation
+# kernels of an RNA (L=50) DPS/classifier/train program starve the
+# remote compile helper to a SIGKILL (r4, /tmp cli sweep; the same
+# program with SVDD_PALLAS_CNN_BWD=0 compiles and runs normally).
+# L=200 (DNA, the shape the kernel was built and tuned for) compiles
+# in normal time. Gate the Pallas route to lengths near the tuned
+# regime; the XLA reference VJP is cheap at small L anyway.
+_PALLAS_BWD_MIN_L = 100
+
+
+def pallas_bwd_len_ok(l: int) -> bool:
+  """Shape gate for the fused backward (see _PALLAS_BWD_MIN_L)."""
+  return l >= _PALLAS_BWD_MIN_L
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _fused_core(x, bias_row, ln_scale, ln_bias, kernel, conv_bias,
                 dilation, eps, interpret):
@@ -413,8 +430,13 @@ def _fused_fwd(x, bias_row, ln_scale, ln_bias, kernel, conv_bias,
 def _fused_bwd(dilation, eps, interpret, res, ct):
   """Fused Pallas backward when enabled (diffusion pretrain, DPS /
   classifier guidance all take jax.grad through the denoiser); falls
-  back to differentiating the jnp reference."""
-  if use_pallas_cnn_bwd():
+  back to differentiating the jnp reference — always at short lengths
+  (pallas_bwd_len_ok), where the Mosaic bwd compile starves the
+  remote compiler."""
+  # interpret mode (CPU tests) has no Mosaic compile, so the length
+  # gate applies only to the compiled path
+  if use_pallas_cnn_bwd() and (interpret
+                               or pallas_bwd_len_ok(res[0].shape[1])):
     return cnn_layer_bwd_pallas(*res, ct, dilation=dilation, eps=eps,
                                 interpret=interpret)
   _, vjp = jax.vjp(

@@ -259,3 +259,15 @@ def test_cnn_layer_bf16_dtype_discipline():
   gx = jax.grad(loss)(x)
   assert gx.dtype == jnp.bfloat16
   assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
+
+
+def test_pallas_bwd_length_gate():
+  """The fused BACKWARD kernel is gated to the lengths it was tuned
+  for: one (64, 50, 128) bwd kernel takes 447 s of Mosaic compile
+  standalone, and the ~5 distinct-dilation kernels of an RNA (L=50)
+  DPS program starve the remote compile helper to a SIGKILL (r4
+  hardware sweep) — while the same program with the XLA reference VJP
+  compiles and runs normally. L=200 (DNA) compiles in normal time."""
+  from svdd_tpu.ops.cnn_layer_pallas import pallas_bwd_len_ok
+  assert not pallas_bwd_len_ok(50)    # RNA decode/train: XLA VJP
+  assert pallas_bwd_len_ok(200)       # DNA flagship: fused kernel
