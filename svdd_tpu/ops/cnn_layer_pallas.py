@@ -90,22 +90,56 @@ def _kernel(x_ref, br_ref, g_ref, b_ref, w_ref, cb_ref, o_ref, *,
   var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
   h = (h - mu) * jax.lax.rsqrt(var + eps)
   h = h * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-  h = h.astype(x.dtype).reshape(tn * l, c)
-  # one wide dot: taps stacked along the OUTPUT axis
-  y = jax.lax.dot_general(h, w_ref[:], (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32)
-  y = y.astype(x.dtype).reshape(tn, l, len(offsets) * c)
+  h = h.astype(x.dtype)
+  # Taps with a LARGE shift waste dot rows: out[i] += tapout[i + off]
+  # uses only l-|off| of the l rows the wide dot computes for that
+  # tap. At the flagship L=200 the dilation-64 layers (offsets
+  # +-{64,128,192}) would discard 55% of their tap-dot FLOPs — when a
+  # layer wastes >30% overall, its |off| >= l/4 taps run as per-tap
+  # dots on just the contributing rows instead (measured 4.9 ->
+  # 3.7/3.8 ms at (5120,200,128), two probe runs,
+  # scripts/probe_dilation_layers.py; low-waste layers stay all-wide
+  # — splitting d=16's +-64 taps measured neutral-to-worse, and the
+  # all-wide path below is then byte-identical to the r3 kernel).
+  # BIT-EXACT either way: identical multiplies, f32 accumulation in
+  # the identical tap order (probe exact=True on hardware at all
+  # dilations).
+  waste = sum(abs(o) for o in offsets) / max(len(offsets) * l, 1)
+  edge_min = (l // 4 + 1) if waste > 0.3 else l
+  inner = [j for j, o in enumerate(offsets) if abs(o) < edge_min]
+  y = None
+  if inner:
+    w_in = w_ref[:] if len(inner) == len(offsets) else \
+        jnp.concatenate([w_ref[:, j * c:(j + 1) * c] for j in inner],
+                        axis=1)
+    # one wide dot: inner taps stacked along the OUTPUT axis
+    y = jax.lax.dot_general(h.reshape(tn * l, c), w_in,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype).reshape(tn, l, len(inner) * c)
   acc = jnp.zeros((tn, l, c), jnp.float32)
   for j, off in enumerate(offsets):
-    slab = y[:, :, j * c:(j + 1) * c]
-    # out[i] += tapout[i + off]
-    if off >= 0:
-      seg = slab[:, off:, :]
-      pad = ((0, 0), (0, off), (0, 0))
+    if j in inner:
+      slab = y[:, :, inner.index(j) * c:(inner.index(j) + 1) * c]
+      # out[i] += tapout[i + off]
+      if off >= 0:
+        seg = slab[:, off:, :]
+        pad = ((0, 0), (0, off), (0, 0))
+      else:
+        seg = slab[:, :l + off, :]
+        pad = ((0, 0), (-off, 0), (0, 0))
+      acc = acc + (jnp.pad(seg, pad) if off else slab).astype(jnp.float32)
     else:
-      seg = slab[:, :l + off, :]
-      pad = ((0, 0), (-off, 0), (0, 0))
-    acc = acc + (jnp.pad(seg, pad) if off else slab).astype(jnp.float32)
+      rows = l - abs(off)
+      src = h[:, off:, :] if off >= 0 else h[:, :l + off, :]
+      yj = jax.lax.dot_general(src.reshape(tn * rows, c),
+                               w_ref[:, j * c:(j + 1) * c],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+      yj = yj.astype(x.dtype).reshape(tn, rows, c).astype(jnp.float32)
+      pad = ((0, 0), (0, l - rows), (0, 0)) if off >= 0 \
+          else ((0, 0), (l - rows, 0), (0, 0))
+      acc = acc + jnp.pad(yj, pad)
   acc = acc + cb_ref[0].astype(jnp.float32)[None, None, :]
   out = jnp.maximum(acc, 0.0).astype(out_dtype) + x.astype(out_dtype)
   o_ref[:] = out

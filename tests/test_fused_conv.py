@@ -271,3 +271,25 @@ def test_pallas_bwd_length_gate():
   from svdd_tpu.ops.cnn_layer_pallas import pallas_bwd_len_ok
   assert not pallas_bwd_len_ok(50)    # RNA decode/train: XLA VJP
   assert pallas_bwd_len_ok(200)       # DNA flagship: fused kernel
+
+
+def test_cnn_layer_pallas_interpret_flagship_d64_split():
+  """The restricted-row tap split (waste>30% layers run |off|>=L/4
+  taps as per-tap dots on contributing rows only) at the flagship
+  shape's d=64 config — exact vs the reference (hardware probe pins
+  bit-exactness vs the all-wide kernel at (5120,200,128),
+  scripts/probe_dilation_layers.py)."""
+  from svdd_tpu.ops.cnn_layer_pallas import (cnn_layer_pallas,
+                                             cnn_layer_reference)
+  n, l, c, k = 8, 200, 128, 9
+  x = _rand(0, (n, l, c))
+  br = _rand(1, (n, c), 0.5)
+  g = 1.0 + 0.1 * _rand(2, (c,))
+  b = 0.1 * _rand(3, (c,))
+  w = _rand(4, (k, c, c), 0.05)
+  cb = 0.1 * _rand(5, (c,))
+  ref = cnn_layer_reference(x, br, g, b, w, cb, 64)
+  out = cnn_layer_pallas(x, br, g, b, w, cb, dilation=64,
+                         interpret=True)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=1e-4, rtol=1e-4)
