@@ -441,7 +441,12 @@ _PALLAS_BWD_MIN_L = 100
 
 
 def pallas_bwd_len_ok(l: int) -> bool:
-  """Shape gate for the fused backward (see _PALLAS_BWD_MIN_L)."""
+  """Length gate for the fused kernels (see _PALLAS_BWD_MIN_L).
+
+  Gates the backward always, and the forward DISPATCHER
+  (cnn_layer_fused) too: the L=50 fwd kernels cost 283 s of Mosaic
+  compile for a +4%-in-noise decode win (r4 A/B). Direct
+  cnn_layer_pallas calls (probes, interpret tests) stay ungated."""
   return l >= _PALLAS_BWD_MIN_L
 
 
@@ -497,7 +502,14 @@ def cnn_layer_fused(x: Array, bias_row: Array, ln_scale: Array,
                     ln_bias: Array, kernel: Array, conv_bias: Array,
                     dilation: int = 1, eps: float = 1e-6,
                     use_pallas: bool | None = None) -> Array:
-  """Dispatcher: Pallas on TPU when shapes tile, jnp reference else."""
+  """Dispatcher: Pallas on TPU when shapes tile, jnp reference else.
+
+  Short lengths also fall back (pallas_bwd_len_ok): Mosaic compile of
+  the L=50 kernels is pathological (an RNA MC decode program measured
+  283 s compile with the kernel vs 26 s without, r4 A/B
+  /tmp/probe_rna_fwd.py) and buys only +4% decode (800 vs 769
+  seqs/s, within run noise) — the kernel's 2.2x win lives at the
+  DNA L=200 shapes it was tuned for."""
   n, l, c = x.shape
   k_taps, c_in, c_out = kernel.shape
   if use_pallas is None:
@@ -506,6 +518,7 @@ def cnn_layer_fused(x: Array, bias_row: Array, ln_scale: Array,
         and len(_live_taps(k_taps, dilation, l)) > 0
         and _pick_tile_n(n, l, c, len(_live_taps(k_taps, dilation, l)))
         > 0
+        and pallas_bwd_len_ok(l)
         and jax.default_backend() == 'tpu')
   if use_pallas and ok:
     return _fused_core(x, bias_row, ln_scale, ln_bias, kernel,
