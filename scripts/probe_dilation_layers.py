@@ -26,7 +26,15 @@ shapes at the PM candidate shape:
 Chained dependent calls inside one jit defeat CSE and amortize the
 axon dispatch floor (probe_cnn_bwd.py methodology).
 
-    python scripts/probe_dilation_layers.py [N] [CHAIN]
+    python scripts/probe_dilation_layers.py [N] [CHAIN] [EDGE_DIV]
+
+EDGE_DIV sets the split threshold edge_min = L // EDGE_DIV (default
+4). OUTCOME (r4, two runs at N=5120): d=64 restricted 3.7/3.8 ms vs
+full 4.4-4.9 — a real ~20% win, shipped as the production kernel's
+waste>30% split (cnn_layer_pallas._kernel); d=16 within noise;
+EDGE_DIV=2 (split only +-128/192) halves the win. The noshift column
+shows the shifted accumulate is NOT the d=64 cost (a), the wasted
+dot rows are (b).
 """
 
 import functools
