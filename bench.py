@@ -395,7 +395,9 @@ def main() -> None:
     # throughput by 30%+. Amortize: several trials of many steps
     # chained device-side (state carries; one host fetch per trial),
     # then best-trial, mirroring the decode branch's min-of-N.
-    steps_per_trial = max(args.iters, 20)
+    # the floor exists to amortize the axon tunnel's fixed fetch
+    # latency; --small is the tiny CPU self-test — keep it tiny
+    steps_per_trial = args.iters if args.small else max(args.iters, 20)
     trial_times = []
     for _ in range(3):
       t0 = time.perf_counter()

@@ -43,10 +43,21 @@ def _build_mesh(args):
 
 
 def run(args) -> None:
+  if getattr(args, 'fsdp', False) and not getattr(args, 'dist', False):
+    raise SystemExit('--fsdp requires --dist (param sharding lives on '
+                     "the 'data' mesh axis)")
+  if getattr(args, 'fsdp', False) and args.model == 'multienformer':
+    raise SystemExit('--fsdp is not supported with '
+                     '--model multienformer (the time-binned trunk '
+                     'stack trains replicated; drop --fsdp)')
+  # The mesh (and its multi-host bootstrap) MUST come before anything
+  # that initializes the JAX backend — jax.distributed.initialize
+  # after first use is an error, which would silently degrade a
+  # multi-host run to independent per-host training.
+  mesh = _build_mesh(args)
   cfg = common.task_config(args)
   diffusion = common.load_diffusion(args, cfg)
   reward_fn = common.load_reward_fn(args, cfg)
-  mesh = _build_mesh(args)
 
   if args.model == 'multienformer':
     _run_multisep(args, cfg, diffusion, reward_fn, mesh)

@@ -226,5 +226,17 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id)
-  except (RuntimeError, ValueError):
-    pass   # already initialized or single-process context
+  except ValueError:
+    pass   # single-process context: no coordinator to discover
+  except RuntimeError as e:
+    # Already initialized (benign) — OR the backend was already used,
+    # in which case a would-be multi-host run silently degrades to
+    # independent per-host training. Surface the latter loudly:
+    # callers must initialize before any JAX computation
+    # (cli/train.py builds the mesh first for exactly this reason).
+    import logging
+    logging.getLogger(__name__).warning(
+        'jax.distributed.initialize failed (%s); continuing '
+        'single-process. If this host was meant to join a multi-host '
+        'slice, ensure initialize_multihost runs BEFORE any JAX '
+        'computation.', e)

@@ -170,13 +170,12 @@ class ValueTrainer:
     from jax.sharding import NamedSharding, PartitionSpec as P
     from svdd_tpu.parallel import mesh as M
     def sh(x):
-      if x is None:
-        return None
       spec = P(M.DATA_AXIS, *([None] * (x.ndim - 1)))
       return jax.lax.with_sharding_constraint(
           x, NamedSharding(self.mesh, spec))
-    return value_lib.ValueBatch(sh(batch.onehots), sh(batch.targets),
-                                sh(batch.time_indices))
+    # tree-map (None leaves are skipped by the pytree) so a new
+    # ValueBatch field can never be silently dropped here
+    return jax.tree.map(sh, batch)
 
   def _make_grad_step(self):
     module = self.vf.module

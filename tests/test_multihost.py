@@ -67,7 +67,12 @@ def test_two_process_dp_train_matches_single_process(tmp_path):
              PYTHONPATH=REPO)
   env.pop('PALLAS_AXON_POOL_IPS', None)   # NEVER claim the TPU here
 
-  port = '12407'
+  # pick a free port (a hardcoded one collides with concurrent test
+  # runs or a TIME_WAIT coordinator socket from a killed run)
+  import socket
+  with socket.socket() as s:
+    s.bind(('localhost', 0))
+    port = str(s.getsockname()[1])
   procs = [subprocess.Popen(
       [sys.executable, str(worker), str(pid), '2', port],
       stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
