@@ -18,10 +18,16 @@ from typing import Optional
 import jax
 
 # persistent XLA compile cache — guided-decode compiles take minutes
-# through the axon remote compiler and are reusable across processes
-jax.config.update('jax_compilation_cache_dir',
-                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                                 '/root/.jax_cache'))
+# through the axon remote compiler and are reusable across processes.
+# CPU runs get a per-host-CPU cache dir: XLA:CPU AOT entries are
+# machine-specific and a cross-machine entry can SIGILL (VERDICT r4
+# item 6; fingerprint helper shared with __graft_entry__).
+_cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                            '/root/.jax_cache')
+if os.environ.get('JAX_PLATFORMS', '').strip().lower() == 'cpu':
+  from svdd_tpu.utils import cpu_host_fingerprint
+  _cache_dir = f'{_cache_dir}-cpu-{cpu_host_fingerprint()}'
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
 
 from svdd_tpu import rewards, utils, value as value_lib

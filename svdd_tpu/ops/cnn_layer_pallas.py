@@ -105,7 +105,12 @@ def _kernel(x_ref, br_ref, g_ref, b_ref, w_ref, cb_ref, o_ref, *,
   # the identical tap order (probe exact=True on hardware at all
   # dilations).
   waste = sum(abs(o) for o in offsets) / max(len(offsets) * l, 1)
-  edge_min = (l // 4 + 1) if waste > 0.3 else l
+  # edge_min == l//4 matches the probe's measured default exactly
+  # (probe_dilation_layers.py:194, EDGE_DIV=4): taps with |off| >= l/4
+  # split. At the flagship L=200/d=64 the classification is identical
+  # to the r4-shipped l//4+1; aligning removes the unprobed boundary
+  # case at shapes where an offset equals exactly l/4 (ADVICE r4).
+  edge_min = (l // 4) if waste > 0.3 else l
   inner = [j for j, o in enumerate(offsets) if abs(o) < edge_min]
   y = None
   if inner:

@@ -221,19 +221,32 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
   explicit args cover DCN-connected CPU/GPU testing. Safe to call when
   already initialized or single-process.
   """
+  explicit = coordinator_address is not None or num_processes is not None
   try:
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id)
   except ValueError:
+    if explicit:
+      raise   # a deliberate multi-host run must not silently degrade
     pass   # single-process context: no coordinator to discover
   except RuntimeError as e:
-    # Already initialized (benign) — OR the backend was already used,
-    # in which case a would-be multi-host run silently degrades to
-    # independent per-host training. Surface the latter loudly:
-    # callers must initialize before any JAX computation
-    # (cli/train.py builds the mesh first for exactly this reason).
+    # Two distinct RuntimeErrors land here:
+    #  - 'already initialized': benign — the docstring's 'safe to call
+    #    when already initialized' case; pass silently.
+    #  - backend already used before initialize: a would-be multi-host
+    #    run would silently degrade to independent per-host training.
+    #    With explicit multi-host args that is a correctness failure —
+    #    raise; on the no-args auto-discovery path, warn and continue.
+    if 'already initialized' in str(e).lower():
+      return
+    if explicit:
+      raise RuntimeError(
+          'jax.distributed.initialize failed for an explicit multi-host '
+          'run; refusing to continue as independent single-process '
+          'training. initialize_multihost must run BEFORE any JAX '
+          f'computation (original error: {e})') from e
     import logging
     logging.getLogger(__name__).warning(
         'jax.distributed.initialize failed (%s); continuing '

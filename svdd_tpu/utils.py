@@ -15,6 +15,27 @@ import jax.numpy as jnp
 import optax
 
 
+def cpu_host_fingerprint() -> str:
+  """Short hash of this host's CPU feature flags. XLA:CPU AOT compile-
+  cache entries are machine-specific: a shared cache dir collected
+  entries compiled on other hosts ('Machine type used for compilation
+  doesn't match ... could lead to execution errors such as SIGILL',
+  MULTICHIP_r04.json tail) — scoping the CPU cache per host CPU makes a
+  stale cross-machine entry unreachable (VERDICT r4 item 6)."""
+  import hashlib
+  import platform
+  feats = platform.machine()
+  try:
+    with open('/proc/cpuinfo') as f:
+      for line in f:
+        if line.startswith(('flags', 'Features')):
+          feats += line
+          break
+  except OSError:
+    pass
+  return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
+
 def get_logger(name: str = 'svdd_tpu') -> logging.Logger:
   """Process-zero-only logger (utils.py:96-111 is rank-zero via
   lightning; here process_index gates it)."""
