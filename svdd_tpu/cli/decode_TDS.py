@@ -33,16 +33,32 @@ def run(args) -> None:
       alpha=args.alpha,
       seed=args.seed,
       skip_best_of_n=args.skip_best_of_n,
+      ess_threshold=args.ess_threshold,
   )
-  common.finish_run(args, result, '_TDS',
-                    extra_metrics={'algo': 'tds', 'alpha': args.alpha,
-                                   'wall_s': time.perf_counter() - t0})
+  extra = {'algo': 'tds', 'alpha': args.alpha,
+           'ess_threshold': args.ess_threshold,
+           'wall_s': time.perf_counter() - t0}
+  if result.diagnostics:
+    # per-step ESS summary into the metrics JSONL (the telemetry the
+    # reference lacks; VERDICT r4 weak #2)
+    extra.update({k: v for k, v in result.diagnostics.items()
+                  if not hasattr(v, 'ndim')})
+    extra['ess_trace'] = [round(float(v), 2)
+                          for v in result.diagnostics['ess'].mean(0)]
+  common.finish_run(args, result, '_TDS', extra_metrics=extra)
 
 
 def main() -> None:
   parser = common.make_parser('TDS twisted-SMC decoding')
   parser.add_argument('--alpha', type=float, default=0.5,
                       help='importance-weight temperature')
+  parser.add_argument('--ess_threshold', type=float, default=None,
+                      help='opt-in adaptive resampling: accumulate '
+                           'particle weights and resample only when '
+                           'ESS < threshold*B (standard SMC practice; '
+                           'default None = reference always-resample '
+                           'semantics). Try 0.5 when the logged ESS '
+                           'collapses at small alpha.')
   run(parser.parse_args())
 
 

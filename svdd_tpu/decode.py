@@ -37,6 +37,7 @@ class DecodeResult:
   reward_preds: np.ndarray     # (N,) oracle scores of guided seqs
   top_k: np.ndarray            # best-of-N baseline scores
   baseline_preds: np.ndarray   # (N,) unguided oracle scores
+  diagnostics: Optional[dict] = None   # e.g. TDS per-step ESS traces
 
   def save_npz(self, path: str) -> None:
     """decode.py:117 format: keys 'decoding' and 'baseline'."""
@@ -174,6 +175,7 @@ def run_decode(
     tweedie: bool = True,
     seed: int = 44,
     skip_best_of_n: bool = False,
+    ess_threshold: Optional[float] = None,
     task: str = 'dna',
     saluki_body=None,
     saluki_final_length: int = 12288,
@@ -196,7 +198,8 @@ def run_decode(
         task=task, saluki_body=saluki_body,
         saluki_final_length=saluki_final_length)
   elif algo == 'tds':
-    sampler = diffusion.tds_sampler(reward_fn, batch_size, alpha=alpha)
+    sampler = diffusion.tds_sampler(reward_fn, batch_size, alpha=alpha,
+                                    ess_threshold=ess_threshold)
   elif algo == 'dps':
     sampler = diffusion.dps_sampler(reward_fn, batch_size,
                                     guidance_scale=guidance_scale)
@@ -221,11 +224,12 @@ def run_decode(
   sampler = _maybe_aot_cache(
       sampler, diffusion, algo, batch_size, sample_M,
       hyper=dict(alpha=alpha, guidance_scale=guidance_scale,
+                 ess_threshold=ess_threshold,
                  tweedie=tweedie, task=task,
                  saluki_final_length=saluki_final_length,
                  saluki_sig=saluki_sig))
 
-  samples, value_preds, reward_preds = [], [], []
+  samples, value_preds, reward_preds, ess_traces = [], [], [], []
   for i in range(gen_batch_num):
     guided_key, sub = jax.random.split(guided_key)
     res = sampler(sub)
@@ -236,7 +240,29 @@ def run_decode(
       value_preds.append(np.asarray(_as_callable(value_fn)(res.samples)))
     else:
       value_preds.append(reward_preds[-1])
+    if algo == 'tds' and isinstance(res.extra, dict) \
+        and 'ess' in res.extra:
+      ess_traces.append(np.asarray(res.extra['ess']))
   LOGGER.info('Value-weighted sampling done.')
+
+  diagnostics = None
+  if ess_traces:
+    ess = np.stack(ess_traces)                    # (batches, num_steps)
+    diagnostics = {'ess': ess,
+                   'ess_min': float(ess.min()),
+                   'ess_median': float(np.median(ess)),
+                   'ess_final': float(ess[:, -1].mean())}
+    LOGGER.info('TDS ESS: min %.1f / median %.1f / final %.1f '
+                '(B=%d particles)', diagnostics['ess_min'],
+                diagnostics['ess_median'], diagnostics['ess_final'],
+                batch_size)
+    if diagnostics['ess_median'] < 0.05 * batch_size:
+      LOGGER.warning(
+          'TDS particle set is DEGENERATE (median ESS %.1f of B=%d): '
+          'the resampled batch is dominated by a handful of ancestors '
+          'and the output distribution is unreliable. Raise --alpha or '
+          'enable adaptive resampling with --ess_threshold (e.g. 0.5).',
+          diagnostics['ess_median'], batch_size)
 
   baseline, top_k = _baseline(diffusion, reward_fn, batch_size,
                               gen_batch_num, sample_M, base_key,
@@ -250,4 +276,5 @@ def run_decode(
       reward_preds=np.concatenate(reward_preds),
       top_k=top_k,
       baseline_preds=baseline,
+      diagnostics=diagnostics,
   )

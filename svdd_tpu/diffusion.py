@@ -442,21 +442,37 @@ class Diffusion:
   def tds_sampler(self, reward_fn, batch_size: int, *, alpha: float = 1.0,
                   num_steps: int | None = None, eps: float = 1e-5,
                   variables: Any | None = None, mesh: Any = None,
-                  reuse_posterior: bool = True):
+                  reuse_posterior: bool = True,
+                  track_ess: bool = True,
+                  ess_threshold: float | None = None):
     """TDS SMC baseline (controlled_sample_TDS, diffusion_gosai.py:938-978).
 
     ``reuse_posterior`` (default on): carry the resampled particles'
     reward_num forward across steps — one of the three per-step
-    denoiser forwards and the removal forward drop out, exactly."""
+    denoiser forwards and the removal forward drop out, exactly.
+
+    ``track_ess`` (default on): the SampleResult.extra aux dict carries
+    a per-step effective-sample-size trace under ``'ess'`` — at the
+    reference's published alpha=0.5 the particle set silently collapses
+    to ESS~1 and this is the only way a user sees it.
+    ``ess_threshold`` (opt-in): adaptive resampling — accumulate
+    weights and resample only when ESS < ess_threshold * B (see
+    guidance.tds_step)."""
     apply_fn, rew_vars = self._hoist(reward_fn)
+    steps = num_steps or self.config.sampling.steps
 
     def build(denoise, den_vars, rew_vars, shard_flat=None):
       rfn = lambda onehot: apply_fn(rew_vars, onehot)
-      aux_init = (self._posterior_aux_init(denoise, batch_size)
-                  if reuse_posterior else ())
+      post_init = (self._posterior_aux_init(denoise, batch_size)
+                   if reuse_posterior else ())
+      aux_init = G.tds_aux_init(batch_size, post_init,
+                                track_ess=track_ess, num_steps=steps,
+                                ess_threshold=ess_threshold)
       return G.tds_step(denoise, rfn, self.schedule, self.mask_index,
                         alpha=alpha,
-                        carry_posterior=reuse_posterior), aux_init
+                        carry_posterior=reuse_posterior,
+                        track_ess=track_ess, num_steps=steps,
+                        ess_threshold=ess_threshold), aux_init
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=rew_vars,

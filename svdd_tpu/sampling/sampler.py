@@ -188,11 +188,14 @@ def reverse_process(
         x = denoiser_final(denoise_fn, schedule, mask_index,
                            vocab_size, x, t_last, final_key)
       elif removal_from_aux:
-        # aux[0] carries denoise_fn(x, sigma(t_last)) exactly (the
-        # guided step's carry_posterior contract) — argmax it directly
-        # instead of re-running the removal forward
-        # (diffusion_gosai.py:1049-1060 semantics preserved).
-        x = jnp.argmax(aux[0][..., :-1], axis=-1)
+        # the posterior carry (log_p, valid) holds
+        # denoise_fn(x, sigma(t_last)) exactly (the guided step's
+        # carry_posterior contract) — argmax it directly instead of
+        # re-running the removal forward (diffusion_gosai.py:1049-1060
+        # semantics preserved). TDS with ESS telemetry nests the carry
+        # under aux['post'] (guidance.tds_aux_init).
+        post = aux['post'] if isinstance(aux, dict) else aux
+        x = jnp.argmax(post[0][..., :-1], axis=-1)
       else:
         x = argmax_noise_removal(denoise_fn, schedule, x, t_last)
 
