@@ -55,6 +55,24 @@ def _live_taps(k_taps: int, dilation: int, length: int) -> list[int]:
           if -length < k * dilation - half < length]
 
 
+def _split_edge_min(offsets: tuple, l: int) -> int:
+  """Split threshold for the tap-waste optimization (fwd AND bwd):
+  when a layer's wide tap-stacked dots would discard >30% of their row
+  FLOPs (out[i] += tapout[i+off] uses only l-|off| of l rows per tap),
+  taps with |off| >= l//4 run as per-tap dots on contributing rows
+  only. edge_min == l//4 matches the probe's measured default exactly
+  (probe_dilation_layers.py:194, EDGE_DIV=4); at the flagship
+  L=200/d=64 the classification is identical to the r4-shipped l//4+1
+  — aligning removes the unprobed boundary case at shapes where an
+  offset equals exactly l/4 (ADVICE r4)."""
+  force = os.environ.get('SVDD_SPLIT_TAPS')     # probe A/B hook
+  if force == '0':
+    return l
+  waste = sum(abs(o) for o in offsets) / max(len(offsets) * l, 1)
+  return (l // 4) if (waste > 0.3 or force == '1'
+                      and waste > 0) else l
+
+
 def cnn_layer_reference(x: Array, bias_row: Array, ln_scale: Array,
                         ln_bias: Array, kernel: Array, conv_bias: Array,
                         dilation: int = 1, eps: float = 1e-6,
@@ -104,13 +122,7 @@ def _kernel(x_ref, br_ref, g_ref, b_ref, w_ref, cb_ref, o_ref, *,
   # BIT-EXACT either way: identical multiplies, f32 accumulation in
   # the identical tap order (probe exact=True on hardware at all
   # dilations).
-  waste = sum(abs(o) for o in offsets) / max(len(offsets) * l, 1)
-  # edge_min == l//4 matches the probe's measured default exactly
-  # (probe_dilation_layers.py:194, EDGE_DIV=4): taps with |off| >= l/4
-  # split. At the flagship L=200/d=64 the classification is identical
-  # to the r4-shipped l//4+1; aligning removes the unprobed boundary
-  # case at shapes where an offset equals exactly l/4 (ADVICE r4).
-  edge_min = (l // 4) if waste > 0.3 else l
+  edge_min = _split_edge_min(offsets, l)
   inner = [j for j, o in enumerate(offsets) if abs(o) < edge_min]
   y = None
   if inner:
@@ -260,13 +272,53 @@ def _bwd_kernel(x_ref, br_ref, g_ref, b_ref, w_ref, wt_ref, cb_ref,
   hs = hn * gv + b_ref[0].astype(jnp.float32)
   h = hs.astype(x.dtype)                          # the fwd dot operand
   h2 = h.reshape(tn * l, c)
-  y = jax.lax.dot_general(h2, w_ref[:], (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32)
-  y = y.astype(x.dtype).reshape(tn, l, n_taps * c)
+
+  # Split-tap rule (same as the forward _kernel): at high-waste
+  # dilations the wide tap-stacked dots discard |off|/l of their row
+  # FLOPs PER TAP. The fwd recompute (out[i] += tapout[i+off]) and the
+  # dgrad mirror (dhs[i] += z[i-off]) run their edge taps as
+  # restricted-row dots on contributing rows only — hardware-probed
+  # BIT-EXACT (the dropped rows are discarded outputs) and 20% faster
+  # at d=64/(256,200,128): 1.28 -> 1.03 ms
+  # (scripts/probe_bwd_split.py r5). wgrad keeps the wide form — see
+  # the split_wgrad note below.
+  edge_min = _split_edge_min(offsets, l)
+  inner = [j for j, o in enumerate(offsets) if abs(o) < edge_min]
+
+  def _cols(ref, j):
+    return ref[:, j * c:(j + 1) * c]
+
+  def _gather_cols(ref, idxs):
+    if len(idxs) == n_taps:
+      return ref[:]
+    return jnp.concatenate([_cols(ref, j) for j in idxs], axis=1)
+
+  def _dot2(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+  y = None
+  if inner:
+    y = _dot2(h2, _gather_cols(w_ref, inner))
+    y = y.astype(x.dtype).reshape(tn, l, len(inner) * c)
   acc = jnp.zeros((tn, l, c), jnp.float32)
   for j, off in enumerate(offsets):
-    acc = acc + shift(y[:, :, j * c:(j + 1) * c], off).astype(
-        jnp.float32)
+    if j in inner:
+      ji = inner.index(j)
+      acc = acc + shift(y[:, :, ji * c:(ji + 1) * c], off).astype(
+          jnp.float32)
+    else:
+      # out[i] += tapout[i + off]: only l-|off| out rows receive
+      # anything; compute just those (identical to the fwd _kernel's
+      # edge-tap branch, so the recomputed acc — and hence the relu
+      # mask — matches the Pallas primal bit-for-bit)
+      rows = l - abs(off)
+      src = h[:, off:, :] if off >= 0 else h[:, :l + off, :]
+      yj = _dot2(src.reshape(tn * rows, c), _cols(w_ref, j))
+      yj = yj.astype(x.dtype).reshape(tn, rows, c).astype(jnp.float32)
+      pad = ((0, 0), (0, l - rows), (0, 0)) if off >= 0 \
+          else ((0, 0), (l - rows, 0), (0, 0))
+      acc = acc + jnp.pad(yj, pad)
   acc = acc + cb_ref[0].astype(jnp.float32)[None, None, :]
 
   # ---- relu + conv-bias backward ----
@@ -276,13 +328,26 @@ def _bwd_kernel(x_ref, br_ref, g_ref, b_ref, w_ref, wt_ref, cb_ref,
 
   # ---- dgrad: dh = sum_j shifted(dacc @ W_j^T, -off_j) ----
   da = dacc.astype(x.dtype)
-  z = jax.lax.dot_general(da.reshape(tn * l, c), wt_ref[:],
-                          (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32)
-  z = z.reshape(tn, l, n_taps * c)
+  z = None
+  if inner:
+    z = _dot2(da.reshape(tn * l, c), _gather_cols(wt_ref, inner))
+    z = z.reshape(tn, l, len(inner) * c)
   dhs = jnp.zeros((tn, l, c), jnp.float32)
   for j, off in enumerate(offsets):
-    dhs = dhs + shift(z[:, :, j * c:(j + 1) * c], -off)
+    if j in inner:
+      ji = inner.index(j)
+      dhs = dhs + shift(z[:, :, ji * c:(ji + 1) * c], -off)
+    else:
+      # dhs[i] += (da @ Wj^T)[i - off]: da rows [0, l-off) land on dhs
+      # rows [off, l) for off >= 0 (mirrored for off < 0) — compute
+      # only the contributing da rows
+      rows = l - abs(off)
+      src = da[:, :rows, :] if off >= 0 else da[:, -rows:, :]
+      qj = _dot2(src.reshape(tn * rows, c),
+                 _cols(wt_ref, j)).reshape(tn, rows, c)
+      pad = ((0, 0), (l - rows, 0), (0, 0)) if off >= 0 \
+          else ((0, 0), (0, l - rows), (0, 0))
+      dhs = dhs + jnp.pad(qj, pad)
 
   # ---- wgrad: dW_j = h^T @ shifted(dacc, -off_j) ----
   i = pl.program_id(0)
@@ -294,10 +359,30 @@ def _bwd_kernel(x_ref, br_ref, g_ref, b_ref, w_ref, wt_ref, cb_ref,
     db_ref[:] = jnp.zeros_like(db_ref)
     dcb_ref[:] = jnp.zeros_like(dcb_ref)
 
-  for j, off in enumerate(offsets):
-    ds = shift(dacc, -off).astype(x.dtype).reshape(tn * l, c)
-    dw_j = jax.lax.dot_general(h2, ds, (((0,), (0,)), ((), ())),
+  def _dot_rows(a, b):
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
+
+  # wgrad stays ALL-WIDE by default: the restricted-row contraction
+  # variant measured SLOWER (d=64 @ (256,200,128): 1.03 ms nowgrad vs
+  # 1.11 ms full-split vs 1.28 all-wide, scripts/probe_bwd_split.py
+  # r5) AND not bit-exact (contracting fewer rows regroups the MXU
+  # accumulation: dkernel rel diff 1.3e-3). SVDD_SPLIT_WGRAD=1 keeps
+  # the measured-negative path reachable for probes.
+  split_wgrad = os.environ.get('SVDD_SPLIT_WGRAD', '0') == '1'
+  for j, off in enumerate(offsets):
+    if j in inner or not split_wgrad:
+      ds = shift(dacc, -off).astype(x.dtype).reshape(tn * l, c)
+      dw_j = _dot_rows(h2, ds)
+    else:
+      # shift(dacc, -off)[i] = dacc[i-off]: the nonzero rows pair
+      # h[off:] with dacc[:l-off] for off >= 0 (mirrored for off < 0)
+      # — contract over the l-|off| contributing rows only
+      rows = l - abs(off)
+      hj = h[:, off:, :] if off >= 0 else h[:, :l + off, :]
+      dj = dacc[:, :rows, :] if off >= 0 else dacc[:, -rows:, :]
+      dw_j = _dot_rows(hj.reshape(tn * rows, c),
+                       dj.astype(x.dtype).reshape(tn * rows, c))
     dw_ref[j * c:(j + 1) * c, :] += dw_j
   dcb_ref[:] += dcb_blk
 

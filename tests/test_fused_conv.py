@@ -167,6 +167,35 @@ def test_cnn_layer_bwd_pallas_matches_reference_vjp(dilation):
                                atol=2e-4, rtol=2e-4, err_msg=nm)
 
 
+def test_cnn_layer_bwd_pallas_flagship_d64_split():
+  """Backward twin of the d64 split test (VERDICT r4 item 5): at
+  L=200/d=64 the bwd kernel's three dot groups (fwd recompute, dgrad
+  mirror, wgrad contraction) run their |off|>=L/4 taps as
+  restricted-row dots — all six cotangents must still match the
+  reference VJP."""
+  from svdd_tpu.ops.cnn_layer_pallas import (cnn_layer_bwd_pallas,
+                                             cnn_layer_reference)
+  n, l, c, k = 8, 200, 128, 9
+  x = _rand(0, (n, l, c))
+  br = _rand(1, (n, c), 0.5)
+  g = 1.0 + 0.1 * _rand(2, (c,))
+  b = 0.1 * _rand(3, (c,))
+  w = _rand(4, (k, c, c), 0.05)
+  cb = 0.1 * _rand(5, (c,))
+  ct = _rand(6, (n, l, c))
+  _, vjp = jax.vjp(
+      lambda *a: cnn_layer_reference(*a, dilation=64),
+      x, br, g, b, w, cb)
+  want = vjp(ct)
+  got = cnn_layer_bwd_pallas(x, br, g, b, w, cb, ct, dilation=64,
+                             interpret=True)
+  names = ('dx', 'dbias_row', 'dln_scale', 'dln_bias', 'dkernel',
+           'dconv_bias')
+  for nm, gt, wt in zip(names, got, want):
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(wt),
+                               atol=2e-4, rtol=2e-4, err_msg=nm)
+
+
 def _pallas_layer_semantics(x, br, g, b, w, cb, dil, eps=1e-6,
                             length=None):
   """jnp replica of the Pallas forward kernel's EXACT math (f32 bias
