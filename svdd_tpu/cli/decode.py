@@ -24,6 +24,14 @@ def run(args) -> None:
   reward_fn = common.load_reward_fn(args, cfg)
   vf = common.load_value_function(args, cfg)
 
+  m_schedule = None
+  if getattr(args, 'm_schedule', None):
+    # "64:4,64:10" -> ((64, 4), (64, 10)); phase lengths must sum to
+    # the step count (validated in sampler.reverse_process)
+    m_schedule = tuple(
+        tuple(int(v) for v in part.split(':'))
+        for part in args.m_schedule.split(','))
+
   t0 = time.perf_counter()
   result = run_decode(
       diffusion, reward_fn,
@@ -34,17 +42,25 @@ def run(args) -> None:
       sample_M=args.sample_M,
       seed=args.seed,
       skip_best_of_n=args.skip_best_of_n,
+      m_schedule=m_schedule,
       task=cfg.task,
       saluki_body=common.load_saluki_body(args),
       saluki_final_length=args.saluki_final_length,
   )
   common.finish_run(args, result,
                     extra_metrics={'algo': 'svdd_mc',
+                                   'm_schedule': args.m_schedule,
                                    'wall_s': time.perf_counter() - t0})
 
 
 def main() -> None:
   parser = common.make_parser('SVDD-MC reward-guided decoding')
+  parser.add_argument(
+      '--m_schedule', type=str, default=None,
+      help='opt-in scheduled-M decode: comma-separated steps:M phases '
+           'covering the trajectory, e.g. "64:4,64:10" (4 candidates '
+           'for the first 64 steps, 10 for the last 64). Overrides '
+           '--sample_M. Frontier: scripts/probe_m_schedule.py')
   run(parser.parse_args())
 
 

@@ -176,6 +176,7 @@ def run_decode(
     seed: int = 44,
     skip_best_of_n: bool = False,
     ess_threshold: Optional[float] = None,
+    m_schedule=None,
     task: str = 'dna',
     saluki_body=None,
     saluki_final_length: int = 12288,
@@ -191,7 +192,8 @@ def run_decode(
     if value_fn is None:
       raise ValueError('svdd_mc needs a value_fn')
     sampler = diffusion.controlled_sampler(value_fn, batch_size,
-                                           sample_M=sample_M)
+                                           sample_M=sample_M,
+                                           m_schedule=m_schedule)
   elif algo == 'svdd_pm':
     sampler = diffusion.tweedie_sampler(
         reward_fn, batch_size, sample_M=sample_M, tweedie=tweedie,
@@ -225,6 +227,8 @@ def run_decode(
       sampler, diffusion, algo, batch_size, sample_M,
       hyper=dict(alpha=alpha, guidance_scale=guidance_scale,
                  ess_threshold=ess_threshold,
+                 m_schedule=None if m_schedule is None
+                 else tuple(map(tuple, m_schedule)),
                  tweedie=tweedie, task=task,
                  saluki_final_length=saluki_final_length,
                  saluki_sig=saluki_sig))

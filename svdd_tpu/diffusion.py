@@ -355,21 +355,35 @@ class Diffusion:
   def controlled_sampler(self, value_fn, batch_size: int, *,
                          sample_M: int = 10, num_steps: int | None = None,
                          eps: float = 1e-5, variables: Any | None = None,
-                         mesh: Any = None, tp: bool = False):
+                         mesh: Any = None, tp: bool = False,
+                         m_schedule=None):
     """SVDD-MC (controlled_sample, diffusion_gosai.py:1022-1062).
     ``value_fn``: tokens->(N,) callable, or (apply_fn, variables).
 
     With a mesh, the folded B*M candidate batch is sharded over ALL
     devices (candidate_sharding). ``tp=True`` instead weight-shards the
     value net over the 'model' axis (pass value variables through
-    mesh.tp_shard_value_params) and keeps candidates on 'data'."""
+    mesh.tp_shard_value_params) and keeps candidates on 'data'.
+
+    ``m_schedule``: opt-in SCHEDULED-M decode — a sequence of
+    (n_steps_i, M_i) phases covering the trajectory, e.g.
+    ((64, 4), (64, 10)) draws/scores 4 candidates per step for the
+    first 64 steps and 10 for the last 64. Rationale: the per-step
+    cost is dominated by the B*M value forward (diffusion_gosai.py:
+    1203-1209) while early near-all-mask steps unmask few positions —
+    quality-vs-M frontier measured in scripts/probe_m_schedule.py.
+    Overrides ``sample_M``; each phase is its own static-shape scan
+    (sampler.reverse_process phases)."""
     apply_fn, val_vars = self._hoist(value_fn)
 
     def build(denoise, den_vars, val_vars, shard_flat=None):
       vfn = lambda tokens: apply_fn(val_vars, tokens)
-      return G.svdd_mc_step(denoise, vfn, self.schedule,
-                            self.mask_index, repeats=sample_M,
-                            shard_flat=shard_flat), ()
+      mk = lambda m: G.svdd_mc_step(denoise, vfn, self.schedule,
+                                    self.mask_index, repeats=m,
+                                    shard_flat=shard_flat)
+      if m_schedule is None:
+        return mk(sample_M), ()
+      return [(mk(m), int(n)) for n, m in m_schedule], ()
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=val_vars,

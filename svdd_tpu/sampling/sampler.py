@@ -134,7 +134,7 @@ def argmax_noise_removal(denoise_fn: DenoiseFn, schedule: Schedule,
 
 
 def reverse_process(
-    step_fn: StepFn,
+    step_fn,
     denoise_fn: DenoiseFn,
     schedule: Schedule,
     *,
@@ -158,8 +158,22 @@ def reverse_process(
   timesteps linspace(1, eps, steps+1), per-step transition, final
   noise-removal argmax (or analytic denoiser), mid-state collection for
   value-net training targets.
+
+  ``step_fn`` is either one StepFn or a PHASE LIST
+  ``[(step_fn_i, n_steps_i), ...]`` with sum(n_steps_i) == num_steps:
+  each phase runs its own lax.scan over its contiguous step range and
+  the carry (aux, x, key-chain) flows through unchanged, so a
+  single-phase list is bit-identical to the plain form. Phases let a
+  guided decode change its per-step transition shape mid-trajectory
+  (e.g. scheduled-M SVDD: fewer value-net candidates on the early
+  all-mask steps) while every phase stays a static-shape scan.
   """
   timesteps = timestep_grid(num_steps, eps)
+  phases = step_fn if isinstance(step_fn, (list, tuple)) else \
+      [(step_fn, num_steps)]
+  if sum(n for _, n in phases) != num_steps:
+    raise ValueError(f'phase lengths {[n for _, n in phases]} do not '
+                     f'sum to num_steps={num_steps}')
 
   def sample(key: jax.Array) -> SampleResult:
     x = mdlm.sample_prior((batch_size, length), mask_index)
@@ -169,18 +183,32 @@ def reverse_process(
       x = shard_constraint(x)
     key, scan_key, final_key = jax.random.split(key, 3)
 
-    def body(carry, idx):
-      aux, x, k = carry
-      k, sub = jax.random.split(k)
-      t = timesteps[idx]
-      t_next = timesteps[idx + 1]
-      aux, x_next = step_fn(aux, x, t, t_next, sub)
-      out = (x_next if collect_mid else None,
-             aux if collect_aux else None)
-      return (aux, x_next, k), out
+    def make_body(fn):
+      def body(carry, idx):
+        aux, x, k = carry
+        k, sub = jax.random.split(k)
+        t = timesteps[idx]
+        t_next = timesteps[idx + 1]
+        aux, x_next = fn(aux, x, t, t_next, sub)
+        out = (x_next if collect_mid else None,
+               aux if collect_aux else None)
+        return (aux, x_next, k), out
+      return body
 
-    (aux, x, _), (mids, aux_seq) = jax.lax.scan(
-        body, (aux_init, x, scan_key), jnp.arange(num_steps))
+    carry = (aux_init, x, scan_key)
+    start = 0
+    mids_parts, aux_parts = [], []
+    for fn, n in phases:
+      carry, (m, a) = jax.lax.scan(
+          make_body(fn), carry, jnp.arange(start, start + n))
+      start += n
+      mids_parts.append(m)
+      aux_parts.append(a)
+    aux, x, _ = carry
+    mids = (jnp.concatenate(mids_parts) if collect_mid
+            and len(mids_parts) > 1 else mids_parts[0])
+    aux_seq = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *aux_parts)
+               if collect_aux and len(aux_parts) > 1 else aux_parts[0])
 
     if noise_removal:
       t_last = timesteps[-1]

@@ -116,6 +116,45 @@ def test_tds_posterior_reuse_exact(model, reward_fn):
       np.asarray(slow(jax.random.key(22)).samples))
 
 
+def test_svdd_mc_m_schedule_single_phase_exact(model, reward_fn):
+  """A one-phase m_schedule is the plain sampler: same scan body, same
+  key chain — bit-identical samples."""
+  steps = model.config.sampling.steps
+  vfn = _token_reward_fn(reward_fn)
+  plain = model.controlled_sampler(vfn, B, sample_M=M)
+  sched = model.controlled_sampler(vfn, B, m_schedule=((steps, M),))
+  np.testing.assert_array_equal(
+      np.asarray(plain(jax.random.key(40)).samples),
+      np.asarray(sched(jax.random.key(40)).samples))
+
+
+def test_svdd_mc_m_schedule_two_phase_lifts(model, reward_fn):
+  """Scheduled-M (small M early, full M late) still guides: mask-free
+  output, reward above the unguided baseline."""
+  steps = model.config.sampling.steps
+  vfn = _token_reward_fn(reward_fn)
+  half = steps // 2
+  sched = model.controlled_sampler(
+      vfn, B, m_schedule=((half, 2), (steps - half, M)))
+  res = sched(jax.random.key(41))
+  x = np.asarray(res.samples)
+  assert (x >= 0).all() and (x < 4).all()
+  base = np.asarray(model.sampler(B)(jax.random.key(41)).samples)
+  from svdd_tpu import mdlm
+  r_guided = np.asarray(reward_fn(mdlm.transform_samples(
+      jnp.asarray(x))))
+  r_base = np.asarray(reward_fn(mdlm.transform_samples(
+      jnp.asarray(base))))
+  assert r_guided.mean() > r_base.mean()
+
+
+def test_svdd_mc_m_schedule_validates_lengths(model, reward_fn):
+  vfn = _token_reward_fn(reward_fn)
+  with pytest.raises(ValueError):
+    model.controlled_sampler(vfn, B, m_schedule=((3, 2), (2, M)))(
+        jax.random.key(42))
+
+
 def test_tds_ess_trace(model, reward_fn):
   """ESS telemetry (VERDICT r4 weak #2): SampleResult.extra carries a
   per-step effective-sample-size trace; tiny alpha collapses it, huge
