@@ -62,8 +62,14 @@ def _synthetic_split(split: str, n: int, length: int,
   """Deterministic stand-in dataset: uniform ACGT sequences whose
   'activity' labels are planted-motif counts plus noise, giving the
   eval metrics (k-mer pearson, wasserstein) real signal."""
+  # stable across processes: python's hash() of a str is SALTED per
+  # interpreter (PYTHONHASHSEED), which made every process build a
+  # DIFFERENT "deterministic" dataset — caught by the r5
+  # resume-under-fire probe (two fresh same-seed runs diverged at
+  # step 100, scripts/probe_resume_fire.py)
+  import zlib
   rng = np.random.default_rng(
-      abs(hash((split, seed))) % (2 ** 31))
+      zlib.crc32(f'{split}:{seed}'.encode()) % (2 ** 31))
   seqs = rng.integers(0, 4, size=(n, length), dtype=np.int64)
   # plant a GCGC-rich motif in a subset to create label structure
   motif = np.array([2, 1, 2, 1])

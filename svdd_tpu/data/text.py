@@ -76,7 +76,11 @@ class TextDataset:
       with open(path) as f:
         text = f.read()
     else:
-      rng = np.random.default_rng(abs(hash(('text', split))) % (2**31))
+      # stable across processes (python str hash is salted per
+      # interpreter — see data/gosai._synthetic_split)
+      import zlib
+      rng = np.random.default_rng(
+          zlib.crc32(f'text:{split}'.encode()) % (2 ** 31))
       # markov-ish synthetic text: repeated word pool
       words = ['the', 'of', 'and', 'to', 'in', 'a', 'is', 'that',
                'for', 'it', 'zero', 'one', 'two', 'nine', 'war',

@@ -335,6 +335,16 @@ class Trainer:
       if self.ckpt_dir and step % ckpt_every == 0:
         self.save_async(state,
                         getattr(train_iter, 'state_dict', lambda: {})())
+      # fault-injection hook (scripts/probe_resume_fire.py): die
+      # mid-run via exception propagation — no SIGTERM (CLAUDE.md:
+      # signaling a TPU process mid-run risks wedging the axon
+      # tunnel), async checkpoint deliberately NOT finalized, exactly
+      # like a worker crash between checkpoints
+      crash_at = os.environ.get('SVDD_CRASH_AT_STEP')
+      if crash_at and step >= int(crash_at):
+        raise RuntimeError(
+            f'SVDD_CRASH_AT_STEP fault injection: dying at step {step} '
+            'with async checkpoints in flight')
     self.finalize_checkpoints()
     return state
 
