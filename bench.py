@@ -226,8 +226,18 @@ def build_workload(batch_size: int, sample_m: int, steps: int,
   if algo == 'classifier':
     return model.classifier_sampler((reward_apply, value_vars),
                                     batch_size, guidance_scale=1.0)
+  m_schedule = None
+  sched_env = os.environ.get('SVDD_BENCH_M_SCHEDULE')
+  if sched_env:
+    # e.g. SVDD_BENCH_M_SCHEDULE=64:4,64:10 — scheduled-M variant
+    # (quality-gated opt-in; vs_baseline still uses the M=10
+    # reference denominator, so the multiplier credits the
+    # algorithmic saving)
+    m_schedule = tuple(tuple(int(v) for v in part.split(':'))
+                       for part in sched_env.split(','))
   sampler = model.controlled_sampler((value_apply, value_vars),
-                                     batch_size, sample_M=sample_m)
+                                     batch_size, sample_M=sample_m,
+                                     m_schedule=m_schedule)
   return sampler
 
 
@@ -625,9 +635,12 @@ def main() -> None:
             f'{ours_seq/1e12:.3f} TFLOP/seq/decode vs analytic '
             f'reference {ref_seq_flops/1e12:.3f}')
 
+  sched_env = os.environ.get('SVDD_BENCH_M_SCHEDULE')
+  m_desc = (f'M={args.sample_M}' if not sched_env
+            else f'M-sched={sched_env}')
   _emit({
       'metric': f'{args.algo.upper().replace("_", "-")} decode throughput '
-                f'(B={args.batch_size}, M={args.sample_M}, '
+                f'(B={args.batch_size}, {m_desc}, '
                 f'steps={args.steps}, L={args.length})',
       'value': round(seqs_per_sec_chip, 3),
       'unit': 'seqs/sec/chip',

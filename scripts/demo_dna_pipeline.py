@@ -4,11 +4,18 @@ oracle -> Enformer value net -> SVDD-MC/PM guided decode.
 The DNA-enhancer analogue of demo_rna_pipeline.py at the reference's
 full value-net scale (Enformer-1536, 11 transformer blocks, HepG2 task
 index 0 of 3 — decode.py:78-80, oracle.cal_gosai_pred). Writes
-log/demo-dna-HepG2{,_tw}.npz + log/demo_dna_pipeline.json.
+log/demo-dna-HepG2{,_tw}{suffix}.npz + log/demo_dna_pipeline{suffix}.json.
+
+--suffix '.run2' --seed_offset 100: an independent second run for the
+pooled quality gate (VERDICT r4 weak #6). --m_schedule '64:4,64:10':
+additionally decode SVDD-MC with the scheduled-M variant under the
+SAME trained nets and record its quantiles (the quality gate for
+VERDICT r4 item 2).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -16,6 +23,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument('--suffix', default='')
+_ap.add_argument('--seed_offset', type=int, default=0)
+_ap.add_argument('--m_schedule', default=None)
+ARGS = _ap.parse_args()
 
 import jax
 import jax.numpy as jnp
@@ -53,10 +66,11 @@ L = cfg.model.length
 # stage 1: diffusion pretrain on synthetic enhancers
 ds = GosaiDataset('train', length=L)
 val_ds = GosaiDataset('val', length=L)
-it = iter(FaultTolerantIterator(ds, cfg.loader.batch_size, seed=0))
-model = Diffusion(cfg, rng=jax.random.key(0))
+it = iter(FaultTolerantIterator(ds, cfg.loader.batch_size,
+                                seed=ARGS.seed_offset))
+model = Diffusion(cfg, rng=jax.random.key(0 + ARGS.seed_offset))
 trainer = train_diff.Trainer(model, cfg)
-state = trainer.init_or_restore(jax.random.key(1))
+state = trainer.init_or_restore(jax.random.key(1 + ARGS.seed_offset))
 for i in range(1200):
   batch = {k: jnp.asarray(v) for k, v in next(it).items()}
   state, loss = trainer.train_step(state, batch)
@@ -66,7 +80,7 @@ phase(f'diffusion pretrained (loss {float(loss):.3f})')
 
 # stage 2: 3-task Enformer oracle on the labels (DNA_evaluation analog)
 oracle_module = EnformerValueModel(n_tasks=3, compute_dtype=jnp.bfloat16)
-ovars = jax.jit(oracle_module.init)(jax.random.key(2),
+ovars = jax.jit(oracle_module.init)(jax.random.key(2 + ARGS.seed_offset),
                                     jnp.zeros((1, L, 4)))
 oparams = ovars.pop('params')
 oextras = ovars
@@ -87,8 +101,8 @@ def oracle_step(params, extras, opt_state, seqs, labels, key):
       opt_state, loss
 
 
-oit = iter(FaultTolerantIterator(ds, 16, seed=3))
-key = jax.random.key(4)
+oit = iter(FaultTolerantIterator(ds, 16, seed=3 + ARGS.seed_offset))
+key = jax.random.key(4 + ARGS.seed_offset)
 for i in range(400):
   b = next(oit)
   key, sub = jax.random.split(key)
@@ -114,7 +128,7 @@ oracle_pair = (oracle_apply, oracle_vars)
 # ValueTrainer's donated-state grad program breaks the remote compiler
 # transport at this scale; plain separate-arg adamw compiles fine)
 value_module = EnformerValueModel(n_tasks=1, compute_dtype=jnp.bfloat16)
-vvars = jax.jit(value_module.init)(jax.random.key(5),
+vvars = jax.jit(value_module.init)(jax.random.key(5 + ARGS.seed_offset),
                                    jnp.zeros((1, L, 4)))
 vparams = vvars.pop('params')
 vextras = vvars
@@ -137,7 +151,7 @@ def value_step(params, extras, opt_state, states, targets, key):
       opt_state, loss
 
 
-vkey = jax.random.key(6)
+vkey = jax.random.key(6 + ARGS.seed_offset)
 vloss0 = None
 for i in range(300):
   vkey, k1, k2, k3 = jax.random.split(vkey, 4)
@@ -167,26 +181,43 @@ def value_apply(variables, tokens):
 B = 256
 mc = run_decode(model, oracle_pair, algo='svdd_mc',
                 value_fn=(value_apply, value_vars),
-                gen_batch_num=1, batch_size=B, sample_M=10, seed=44)
+                gen_batch_num=1, batch_size=B, sample_M=10, seed=44 + ARGS.seed_offset)
 phase('SVDD-MC decode done')
-mc.save_npz('log/demo-dna-HepG2.npz')
+mc.save_npz(f'log/demo-dna-HepG2{ARGS.suffix}.npz')
 
 pm = run_decode(model, oracle_pair, algo='svdd_pm',
-                gen_batch_num=1, batch_size=B, sample_M=10, seed=44,
-                skip_best_of_n=True)
+                gen_batch_num=1, batch_size=B, sample_M=10,
+                seed=44 + ARGS.seed_offset, skip_best_of_n=True)
 phase('SVDD-PM decode done')
-pm.save_npz('log/demo-dna-HepG2_tw.npz')
+pm.save_npz(f'log/demo-dna-HepG2_tw{ARGS.suffix}.npz')
 
-report = quantile_report({
+rows = {
     'baseline (pretrained)': mc.baseline_preds,
     'SVDD-MC': mc.reward_preds,
     'SVDD-PM': pm.reward_preds,
     'best-of-N': mc.top_k,
-})
+}
+
+if ARGS.m_schedule:
+  # scheduled-M SVDD-MC under the SAME trained nets: the quality gate
+  # for the frontier candidate (VERDICT r4 item 2)
+  msched = tuple(tuple(int(v) for v in part.split(':'))
+                 for part in ARGS.m_schedule.split(','))
+  mcs = run_decode(model, oracle_pair, algo='svdd_mc',
+                   value_fn=(value_apply, value_vars),
+                   gen_batch_num=1, batch_size=B, sample_M=10,
+                   seed=44 + ARGS.seed_offset, skip_best_of_n=True,
+                   m_schedule=msched)
+  phase(f'SVDD-MC scheduled-M {ARGS.m_schedule} decode done')
+  mcs.save_npz(f'log/demo-dna-HepG2_sched{ARGS.suffix}.npz')
+  rows[f'SVDD-MC sched {ARGS.m_schedule}'] = mcs.reward_preds
+  RESULTS['m_schedule'] = ARGS.m_schedule
+
+report = quantile_report(rows)
 RESULTS['report'] = report
 for name, row in report.items():
   phase(f"{name:22s} q50={row['q50']:.3f} q80={row['q80']:.3f} "
         f"q90={row['q90']:.3f} (n={row['n']})")
-with open('log/demo_dna_pipeline.json', 'w') as f:
+with open(f'log/demo_dna_pipeline{ARGS.suffix}.json', 'w') as f:
   json.dump(RESULTS, f, indent=2)
-phase('wrote log/demo_dna_pipeline.json')
+phase(f'wrote log/demo_dna_pipeline{ARGS.suffix}.json')

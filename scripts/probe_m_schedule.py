@@ -53,28 +53,66 @@ def main():
   p.add_argument('--length', type=int, default=200)
   p.add_argument('--seeds', type=int, default=3)
   p.add_argument('--throughput', action='store_true')
+  p.add_argument('--round', type=int, default=1,
+                 help='1: early-cut sweep; 2: late-cut + equal-cost '
+                      'reallocation sweep')
   args = p.parse_args()
 
   from svdd_tpu import mdlm, rewards
   from svdd_tpu.config import dna_config
+  from svdd_tpu.data.gosai import FaultTolerantIterator, GosaiDataset
   from svdd_tpu.diffusion import Diffusion
+  from svdd_tpu.models import ema as ema_lib
+  from svdd_tpu.train import diffusion as train_diff
 
   cfg = dna_config()
   cfg.model.length = args.length
   cfg.sampling.steps = args.steps
+  cfg.optim.warmup_steps = 50
+  cfg.optim.lr = 1e-3
+  cfg.loader.batch_size = 16
   model = Diffusion(cfg, rng=jax.random.key(0))
+
+  # short pretrain on the synthetic enhancers (demo_dna_pipeline
+  # stage 1): an UNTRAINED dna-config denoiser collapses to all-'A'
+  # (measured: 799/800 tokens = A), leaving no distribution for
+  # selection to act on — the frontier needs a real p(x0)
+  ds = GosaiDataset('train', length=args.length)
+  it = iter(FaultTolerantIterator(ds, cfg.loader.batch_size, seed=0))
+  trainer = train_diff.Trainer(model, cfg)
+  state = trainer.init_or_restore(jax.random.key(1))
+  import jax.numpy as jnp
+  for i in range(1200):
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state, loss = trainer.train_step(state, batch)
+  model.variables = {'params': ema_lib.params(state.ema),
+                     **state.extras}
+  print(f'pretrained 1200 steps, loss {float(loss):.3f}', flush=True)
+
   reward_fn = rewards.synthetic_motif_oracle(args.length)
   value_fn = lambda tok: reward_fn(mdlm.transform_samples(tok))
 
   s = args.steps
-  schedules = {
-      'constM10': None,
-      'constM4': [(s, 4)],
-      'early4_half': [(s // 2, 4), (s - s // 2, 10)],
-      'early4_quarter': [(s // 4, 4), (s - s // 4, 10)],
-      'early2_half': [(s // 2, 2), (s - s // 2, 10)],
-      'early1_half': [(s // 2, 1), (s - s // 2, 10)],
-  }
+  if args.round == 1:
+    schedules = {
+        'constM10': None,
+        'constM4': [(s, 4)],
+        'early4_half': [(s // 2, 4), (s - s // 2, 10)],
+        'early4_quarter': [(s // 4, 4), (s - s // 4, 10)],
+        'early2_half': [(s // 2, 2), (s - s // 2, 10)],
+        'early1_half': [(s // 2, 1), (s - s // 2, 10)],
+    }
+  else:
+    # round 2: mirrored late cuts + equal-cost reallocations — is the
+    # M-sensitivity asymmetric across the trajectory?
+    schedules = {
+        'constM10': None,
+        'late4_half': [(s // 2, 10), (s - s // 2, 4)],
+        'late4_quarter': [(s - s // 4, 10), (s // 4, 4)],
+        'realloc_4_16': [(s // 2, 4), (s - s // 2, 16)],   # cost == M10
+        'realloc_16_4': [(s // 2, 16), (s - s // 2, 4)],   # cost == M10
+        'constM16': [(s, 16)],
+    }
 
   # ---- Part A: quality (synthetic oracle as value + reward) ----
   base_rows = []

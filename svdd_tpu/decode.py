@@ -198,7 +198,8 @@ def run_decode(
     sampler = diffusion.tweedie_sampler(
         reward_fn, batch_size, sample_M=sample_M, tweedie=tweedie,
         task=task, saluki_body=saluki_body,
-        saluki_final_length=saluki_final_length)
+        saluki_final_length=saluki_final_length,
+        m_schedule=m_schedule)
   elif algo == 'tds':
     sampler = diffusion.tds_sampler(reward_fn, batch_size, alpha=alpha,
                                     ess_threshold=ess_threshold)

@@ -425,7 +425,8 @@ class Diffusion:
                       saluki_final_length: int = 12288,
                       num_steps: int | None = None, eps: float = 1e-5,
                       variables: Any | None = None, mesh: Any = None,
-                      reuse_posterior: bool = True):
+                      reuse_posterior: bool = True,
+                      m_schedule=None):
     """SVDD-PM (controlled_sample_tweedie, diffusion_gosai.py:1106-1145).
     ``task='rna_saluki'`` routes scoring through the saluki input
     builder (:1426-1428).
@@ -433,7 +434,12 @@ class Diffusion:
     ``reuse_posterior`` (tweedie only; default on): carry the winner's
     candidate forward across steps and into noise removal, dropping the
     per-step (B,) denoiser forward AND the final removal forward —
-    mathematically exact (guidance._cached_or_fresh)."""
+    mathematically exact (guidance._cached_or_fresh).
+
+    ``m_schedule``: opt-in scheduled-M phases ((n_steps_i, M_i), ...)
+    — see controlled_sampler; for PM both the candidate denoiser
+    forward AND the reward forward scale with M, so the early-phase
+    saving is larger than MC's."""
     apply_fn, rew_vars = self._hoist(reward_fn)
     reuse = reuse_posterior and tweedie
 
@@ -441,13 +447,16 @@ class Diffusion:
       rfn = lambda onehot: apply_fn(rew_vars, onehot)
       aux_init = (self._posterior_aux_init(denoise, batch_size)
                   if reuse else ())
-      return G.svdd_pm_step(denoise, rfn, self.schedule,
-                            self.mask_index, repeats=sample_M,
-                            tweedie=tweedie, task=task,
-                            saluki_body=saluki_body,
-                            saluki_final_length=saluki_final_length,
-                            shard_flat=shard_flat,
-                            carry_posterior=reuse), aux_init
+      mk = lambda m: G.svdd_pm_step(denoise, rfn, self.schedule,
+                                    self.mask_index, repeats=m,
+                                    tweedie=tweedie, task=task,
+                                    saluki_body=saluki_body,
+                                    saluki_final_length=saluki_final_length,
+                                    shard_flat=shard_flat,
+                                    carry_posterior=reuse)
+      if m_schedule is None:
+        return mk(sample_M), aux_init
+      return [(mk(m), int(n)) for n, m in m_schedule], aux_init
 
     return self._jit_sampler(build, batch_size, num_steps, eps,
                              variables=variables, extra_vars=rew_vars,

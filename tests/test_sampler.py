@@ -148,6 +148,28 @@ def test_svdd_mc_m_schedule_two_phase_lifts(model, reward_fn):
   assert r_guided.mean() > r_base.mean()
 
 
+def test_svdd_pm_m_schedule_single_phase_exact(model, reward_fn):
+  """PM twin of the MC single-phase pin (posterior-reuse carry flows
+  across phases unchanged)."""
+  steps = model.config.sampling.steps
+  plain = model.tweedie_sampler(reward_fn, B, sample_M=M, tweedie=True)
+  sched = model.tweedie_sampler(reward_fn, B, sample_M=M, tweedie=True,
+                                m_schedule=((steps, M),))
+  np.testing.assert_array_equal(
+      np.asarray(plain(jax.random.key(43)).samples),
+      np.asarray(sched(jax.random.key(43)).samples))
+
+
+def test_svdd_pm_m_schedule_two_phase_runs(model, reward_fn):
+  steps = model.config.sampling.steps
+  half = steps // 2
+  sched = model.tweedie_sampler(
+      reward_fn, B, sample_M=M, tweedie=True,
+      m_schedule=((half, 2), (steps - half, M)))
+  x = np.asarray(sched(jax.random.key(44)).samples)
+  assert (x >= 0).all() and (x < 4).all()
+
+
 def test_svdd_mc_m_schedule_validates_lengths(model, reward_fn):
   vfn = _token_reward_fn(reward_fn)
   with pytest.raises(ValueError):
