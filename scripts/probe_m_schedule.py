@@ -102,7 +102,7 @@ def main():
         'early2_half': [(s // 2, 2), (s - s // 2, 10)],
         'early1_half': [(s // 2, 1), (s - s // 2, 10)],
     }
-  else:
+  elif args.round == 2:
     # round 2: mirrored late cuts + equal-cost reallocations — is the
     # M-sensitivity asymmetric across the trajectory?
     schedules = {
@@ -112,6 +112,14 @@ def main():
         'realloc_4_16': [(s // 2, 4), (s - s // 2, 16)],   # cost == M10
         'realloc_16_4': [(s // 2, 16), (s - s // 2, 4)],   # cost == M10
         'constM16': [(s, 16)],
+    }
+  else:
+    # round 3: noise floor (more seeds on the round-2 leaders) + one
+    # front-loaded equal-cost variant
+    schedules = {
+        'constM10': None,
+        'late4_quarter': [(s - s // 4, 10), (s // 4, 4)],
+        'front12_4': [(s - s // 4, 12), (s // 4, 4)],      # cost == M10
     }
 
   # ---- Part A: quality (synthetic oracle as value + reward) ----

@@ -49,7 +49,8 @@ def run(args) -> None:
   )
   common.finish_run(args, result,
                     extra_metrics={'algo': 'svdd_mc',
-                                   'm_schedule': args.m_schedule,
+                                   'm_schedule': getattr(
+                                       args, 'm_schedule', None),
                                    'wall_s': time.perf_counter() - t0})
 
 
