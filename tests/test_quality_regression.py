@@ -98,20 +98,48 @@ def test_demo_artifact_ordering():
 
 
 def test_demo_artifact_ordering_dna():
-  """Same gate for the flagship DNA artifacts (VERDICT r3 item 3:
-  the README's DNA claim was doc-only). The COMMITTED r4 hardware run
-  measured baseline q50 -0.85 / best-of-N 3.16 / SVDD-PM 8.66 /
-  SVDD-MC 11.56 (log/demo_dna_pipeline.json; earlier uncommitted runs
-  9.94/8.44 and 14.44/10.38); bands allow run-to-run spread but fail
-  on a halved lift. Regenerate with scripts/demo_dna_pipeline.py on
-  the TPU."""
-  mc_path = os.path.join(REPO, 'log', 'demo-dna-HepG2.npz')
-  pm_path = os.path.join(REPO, 'log', 'demo-dna-HepG2_tw.npz')
-  if not (os.path.exists(mc_path) and os.path.exists(pm_path)):
+  """Pooled gate over the COMMITTED independent DNA demo runs
+  (VERDICT r4 weak #6: the single-run band was coarse enough to hide
+  a ~30% regression). Committed hardware runs and their q50 lifts
+  over each run's own baseline:
+    run 1 (r4, log/demo_dna_pipeline.json):      MC 12.41, PM 9.51
+    run 2 (r5, .run2, independent seed_offset):  MC 11.12, PM 7.75
+  Pooled means: MC 11.77, PM 8.63. Bands = pooled mean -30%/+40%, so
+  a 30% lift regression now FAILS while honest run-to-run spread
+  (~10%) passes. Regenerate with scripts/demo_dna_pipeline.py
+  [--suffix .runN --seed_offset 100*N] on the TPU."""
+  runs = []
+  for suffix in ('', '.run2', '.run3'):
+    mc_path = os.path.join(REPO, 'log', f'demo-dna-HepG2{suffix}.npz')
+    pm_path = os.path.join(REPO, 'log', f'demo-dna-HepG2_tw{suffix}.npz')
+    if os.path.exists(mc_path) and os.path.exists(pm_path):
+      runs.append((np.load(mc_path), np.load(pm_path)))
+  if not runs:
     pytest.skip('DNA demo artifacts not present (run '
                 'scripts/demo_dna_pipeline.py on hardware)')
+  mc_lifts = [_q50(mc['decoding']) - _q50(mc['baseline'])
+              for mc, _ in runs]
+  pm_lifts = [_q50(pm['decoding']) - _q50(mc['baseline'])
+              for mc, pm in runs]
+  mc_lift, pm_lift = float(np.mean(mc_lifts)), float(np.mean(pm_lifts))
+  assert 0.7 * 11.77 < mc_lift < 1.4 * 11.77, (mc_lifts, pm_lifts)
+  assert 0.7 * 8.63 < pm_lift < 1.4 * 8.63, (mc_lifts, pm_lifts)
+
+
+def test_demo_artifact_scheduled_m_dna():
+  """Scheduled-M quality gate under TRAINED nets (VERDICT r4 item 2):
+  the committed run-2 artifacts decode SVDD-MC with the equal-cost
+  front-loaded 96:12,32:4 schedule alongside constant M=10 — the
+  scheduled lift must stay within 15% of the same run's constM10 lift
+  (measured: 11.00 vs 11.25 q50, a 2% gap)."""
+  mc_path = os.path.join(REPO, 'log', 'demo-dna-HepG2.run2.npz')
+  sched_path = os.path.join(REPO, 'log',
+                            'demo-dna-HepG2_sched.run2.npz')
+  if not (os.path.exists(mc_path) and os.path.exists(sched_path)):
+    pytest.skip('scheduled-M demo artifacts not present')
   mc = np.load(mc_path)
-  pm = np.load(pm_path)
+  sched = np.load(sched_path)
   base = _q50(mc['baseline'])
-  assert _q50(mc['decoding']) > base + 6.0, (base, _q50(mc['decoding']))
-  assert _q50(pm['decoding']) > base + 5.0, (base, _q50(pm['decoding']))
+  mc_lift = _q50(mc['decoding']) - base
+  sched_lift = _q50(sched['decoding']) - base
+  assert sched_lift > 0.85 * mc_lift, (mc_lift, sched_lift)
