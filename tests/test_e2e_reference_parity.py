@@ -306,6 +306,25 @@ def test_svdd_mc_matches_reference(harness):
   assert np.median(want) > np.median(base) + 0.5
 
 
+def test_svdd_mc_scheduled_m_matches_reference(harness):
+  """Scheduled-M SVDD-MC cross-framework: both sides run the same
+  per-phase candidate schedule (here 4 steps at M=2, 4 at M=4) — the
+  phased scan must stay distribution-identical to the reference loop
+  with per-step M."""
+  h = harness
+  W_j = jnp.asarray(h.W)
+  from svdd_tpu import mdlm
+  value_tok = lambda toks: (mdlm.transform_samples(toks)
+                            * W_j).sum(axis=(-1, -2))
+  sched = ((STEPS // 2, 2), (STEPS - STEPS // 2, M))
+  sampler = h.jmodel.controlled_sampler(value_tok, B,
+                                        m_schedule=sched,
+                                        num_steps=STEPS)
+  got, want = _decode_pair(h, 'mc', sampler, value_fn=_torch_value(h.W),
+                           m_schedule=list(sched))
+  _assert_distributions_agree(got, want, 'SVDD-MC scheduled-M')
+
+
 def test_svdd_pm_tweedie_matches_reference(harness):
   h = harness
   sampler = h.jmodel.tweedie_sampler(_jax_reward(h.W), B, sample_M=M,

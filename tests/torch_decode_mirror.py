@@ -186,7 +186,7 @@ def decode(denoiser: TorchDenoiser, algo: str, batch_size: int,
            length: int, num_steps: int, *, value_fn=None,
            reward_fn=None, sample_M: int = 10, alpha: float = 1.0,
            guidance_scale: float = 1.0, tweedie: bool = True,
-           eps: float = 1e-5) -> torch.Tensor:
+           m_schedule=None, eps: float = 1e-5) -> torch.Tensor:
   """The reference decode loop (diffusion_gosai.py:1022-1062 scaffold
   shared by every controlled_sample_* variant): all-MASK prior,
   timesteps linspace(1, eps, steps+1), per-step guided update, final
@@ -199,6 +199,13 @@ def decode(denoiser: TorchDenoiser, algo: str, batch_size: int,
   """
   x = torch.full((batch_size, length), MASK, dtype=torch.long)
   timesteps = np.linspace(1.0, eps, num_steps + 1)
+  # scheduled-M: expand [(n_steps, M), ...] to a per-step M list
+  # (mirrors svdd_tpu's phased reverse_process)
+  if m_schedule is not None:
+    per_step_m = [m for n, m in m_schedule for _ in range(n)]
+    assert len(per_step_m) == num_steps
+  else:
+    per_step_m = [sample_M] * num_steps
 
   for i in range(num_steps):
     t, t_next = float(timesteps[i]), float(timesteps[i + 1])
@@ -211,7 +218,7 @@ def decode(denoiser: TorchDenoiser, algo: str, batch_size: int,
       # M sequential draws + M sequential scorer forwards, the
       # reference's own structure (:1203-1209)
       samples, scores = [], []
-      for _ in range(sample_M):
+      for _ in range(per_step_m[i]):
         cand = copy_flag * x + (1 - copy_flag) * sample_categorical(q_xs)
         samples.append(cand)
         if algo == 'mc':
