@@ -212,11 +212,23 @@ def build_workload(batch_size: int, sample_m: int, steps: int,
   def reward_apply(variables, onehot):
     return value_module.apply(variables, onehot)
 
+  m_schedule = None
+  sched_env = os.environ.get('SVDD_BENCH_M_SCHEDULE')
+  if sched_env and algo in ('svdd_mc', 'svdd_pm'):
+    # e.g. SVDD_BENCH_M_SCHEDULE=64:4,64:10 — scheduled-M variant
+    # (quality-gated opt-in; vs_baseline still uses the M=10
+    # reference denominator, so the multiplier credits the
+    # algorithmic saving). Only MC/PM support schedules — parsed
+    # BEFORE the algo dispatch so PM actually gets it (an r5 bench
+    # briefly emitted a PM row labeled scheduled that wasn't).
+    m_schedule = tuple(tuple(int(v) for v in part.split(':'))
+                       for part in sched_env.split(','))
   if algo == 'svdd_pm':
     # Tweedie path (reference decode_tweedie.py): +1 denoiser fwd on
     # (B*M) per step
     return model.tweedie_sampler((reward_apply, value_vars),
-                                 batch_size, sample_M=sample_m)
+                                 batch_size, sample_M=sample_m,
+                                 m_schedule=m_schedule)
   if algo == 'tds':
     return model.tds_sampler((reward_apply, value_vars), batch_size,
                              alpha=0.5)
@@ -226,15 +238,6 @@ def build_workload(batch_size: int, sample_m: int, steps: int,
   if algo == 'classifier':
     return model.classifier_sampler((reward_apply, value_vars),
                                     batch_size, guidance_scale=1.0)
-  m_schedule = None
-  sched_env = os.environ.get('SVDD_BENCH_M_SCHEDULE')
-  if sched_env:
-    # e.g. SVDD_BENCH_M_SCHEDULE=64:4,64:10 — scheduled-M variant
-    # (quality-gated opt-in; vs_baseline still uses the M=10
-    # reference denominator, so the multiplier credits the
-    # algorithmic saving)
-    m_schedule = tuple(tuple(int(v) for v in part.split(':'))
-                       for part in sched_env.split(','))
   sampler = model.controlled_sampler((value_apply, value_vars),
                                      batch_size, sample_M=sample_m,
                                      m_schedule=m_schedule)
@@ -636,6 +639,8 @@ def main() -> None:
             f'reference {ref_seq_flops/1e12:.3f}')
 
   sched_env = os.environ.get('SVDD_BENCH_M_SCHEDULE')
+  if sched_env and args.algo not in ('svdd_mc', 'svdd_pm'):
+    sched_env = None                # schedule not applied to this algo
   m_desc = (f'M={args.sample_M}' if not sched_env
             else f'M-sched={sched_env}')
   _emit({

@@ -113,13 +113,24 @@ def main():
         'realloc_16_4': [(s // 2, 16), (s - s // 2, 4)],   # cost == M10
         'constM16': [(s, 16)],
     }
-  else:
+  elif args.round == 3:
     # round 3: noise floor (more seeds on the round-2 leaders) + one
     # front-loaded equal-cost variant
     schedules = {
         'constM10': None,
         'late4_quarter': [(s - s // 4, 10), (s // 4, 4)],
         'front12_4': [(s - s // 4, 12), (s // 4, 4)],      # cost == M10
+    }
+  else:
+    # round 4: 3-phase equal-cost tapers (all 10*s value rows) — can a
+    # steeper front-load beat the round-3 winner front12_4?
+    q = s // 4
+    schedules = {
+        'front12_4': [(s - q, 12), (q, 4)],
+        'p3_14_8_4': [(2 * q, 14), (q, 8), (q, 4)],
+        'p3_16_10_4': [(q, 16), (2 * q, 10), (q, 4)],
+        'p3_12_6_2': [(3 * q, 12), (q // 2, 6), (q // 2, 2)],
+        'front11_3': [(s - q // 2, 11), (q // 2, 3)],
     }
 
   # ---- Part A: quality (synthetic oracle as value + reward) ----

@@ -559,6 +559,28 @@ def test_tds_sharded_decode_matches_unsharded():
   np.testing.assert_array_equal(got, want)
 
 
+def test_scheduled_m_sharded_decode_matches_unsharded():
+  """Scheduled-M SVDD-MC under the candidate-sharded mesh: each phase
+  folds a DIFFERENT (B*M_i, L) candidate batch onto the mesh — the
+  per-phase shard constraint must reproduce single-device tokens."""
+  from svdd_tpu import mdlm, rewards
+  cfg = tiny_test_config('dna')
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  reward = rewards.synthetic_motif_oracle(cfg.model.length)
+  vfn = lambda tok: reward(mdlm.transform_samples(tok))
+  sched = ((2, 2), (2, 4))
+
+  ref = model.controlled_sampler(vfn, 8, m_schedule=sched, num_steps=4)
+  want = np.asarray(ref(jax.random.key(7)).samples)
+
+  mesh = M.make_mesh(data=4, model=2)
+  sh = model.controlled_sampler(vfn, 8, m_schedule=sched, num_steps=4,
+                                mesh=mesh)
+  with mesh:
+    got = np.asarray(sh(jax.random.key(7)).samples)
+  np.testing.assert_array_equal(got, want)
+
+
 def test_dps_sharded_decode_matches_unsharded():
   """DPS under a data-sharded batch: the in-scan jax.grad through
   denoiser + reward must reproduce single-device tokens."""
