@@ -87,6 +87,31 @@ def test_aot_cache_in_run_decode(tmp_path, monkeypatch):
   np.testing.assert_array_equal(first.samples, second.samples)
 
 
+def test_aot_tds_dict_aux_roundtrip(tmp_path):
+  """The TDS sampler's ESS-telemetry aux is a DICT carry (r5): the
+  exported executable must serialize/restore the dict result treedef
+  and reproduce samples + the ESS trace exactly."""
+  from svdd_tpu import rewards
+  from svdd_tpu.config import tiny_test_config
+  from svdd_tpu.diffusion import Diffusion
+
+  cfg = tiny_test_config('rna')
+  model = Diffusion(cfg, rng=jax.random.key(0))
+  reward = rewards.synthetic_motif_oracle(cfg.model.length)
+  sampler = model.tds_sampler(reward, 4, alpha=0.5, num_steps=4)
+  key = jax.random.key(12)
+  want = sampler(key)
+  path = tmp_path / 'tds.svddc'
+  aot.export_compiled(sampler, path)
+  call = aot.load_compiled(path)
+  den_vars, extra_vars = sampler.default_args
+  got = call(den_vars, extra_vars, key)
+  np.testing.assert_array_equal(np.asarray(got.samples),
+                                np.asarray(want.samples))
+  np.testing.assert_array_equal(np.asarray(got.extra['ess']),
+                                np.asarray(want.extra['ess']))
+
+
 def test_aot_export_fn_uncontrolled(tmp_path):
   """export_fn round-trips the plain (uncontrolled) sampler too."""
   cfg = tiny_test_config('rna')

@@ -555,8 +555,14 @@ def test_tds_sharded_decode_matches_unsharded():
   mesh = M.make_mesh(data=4, model=2)
   sh = model.tds_sampler(reward, 8, alpha=0.5, num_steps=4, mesh=mesh)
   with mesh:
-    got = np.asarray(sh(jax.random.key(5)).samples)
+    res = sh(jax.random.key(5))
+    got = np.asarray(res.samples)
   np.testing.assert_array_equal(got, want)
+  # the ESS telemetry survives the sharded scan and matches the
+  # unsharded trace (weights are computed on the gathered batch)
+  np.testing.assert_allclose(np.asarray(res.extra['ess']),
+                             np.asarray(ref(jax.random.key(5))
+                                        .extra['ess']), rtol=1e-5)
 
 
 def test_scheduled_m_sharded_decode_matches_unsharded():
