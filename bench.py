@@ -330,17 +330,21 @@ def aot_wrap(sampler, args, phase):
     import subprocess
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-      # last commit touching any .py — docs-only commits keep the key
+      # last commit touching any non-test .py — docs-only and
+      # test-only commits keep the key (tests never reach the traced
+      # program; r5 lost several 15-min warm artifacts to test
+      # commits before the exclude)
+      spec = ['--', '*.py', ':(exclude)tests']
       head = subprocess.run(
-          ['git', 'log', '-1', '--format=%H', '--', '*.py'], cwd=repo,
+          ['git', 'log', '-1', '--format=%H'] + spec, cwd=repo,
           capture_output=True, text=True, timeout=10).stdout.strip()
       diff = subprocess.run(
-          ['git', 'diff', 'HEAD', '--', '*.py'], cwd=repo,
+          ['git', 'diff', 'HEAD'] + spec, cwd=repo,
           capture_output=True, text=True, timeout=10).stdout
       h = hashlib.sha1(diff.encode())
       untracked = subprocess.run(
-          ['git', 'ls-files', '-o', '--exclude-standard', '--',
-           '*.py'], cwd=repo,
+          ['git', 'ls-files', '-o', '--exclude-standard'] + spec,
+          cwd=repo,
           capture_output=True, text=True, timeout=10).stdout.split()
       for rel in untracked:
         h.update(rel.encode())
