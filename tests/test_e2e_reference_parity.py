@@ -255,6 +255,65 @@ def test_classifier_learned_convgru_net_matches_reference(harness,
                               'classifier learned ConvGRU')
 
 
+def test_tds_learned_enformer_reward_matches_reference(harness,
+                                                       learned_nets):
+  """TDS with the LEARNED Enformer-trunk reward in the Tweedie
+  importance weights — run at an alpha with healthy ESS (the learned
+  net's score scale differs from the linear probe's), pooled over 3
+  runs per side on the run-median statistic (same protocol as
+  test_tds_matches_reference)."""
+  h, nets = harness, learned_nets
+  reward_pair = (lambda vars_, oh: nets.enf_model.apply(vars_, oh),
+                 nets.enf_vars)
+  alpha = 2.0
+  sampler = h.jmodel.tds_sampler(reward_pair, B, alpha=alpha,
+                                 num_steps=STEPS)
+  score = _jax_net_scorer(nets.enf_model, nets.enf_vars)
+  t_medians, j_medians, ess_mins = [], [], []
+  for seed in range(3):
+    torch.manual_seed(11 + seed)
+    np.random.seed(11 + seed)
+    with torch.no_grad():
+      t_tokens = np.asarray(tdm.decode(
+          h.tden, 'tds', B, L, STEPS,
+          reward_fn=_torch_net_reward(nets.enf_mirror), alpha=alpha))
+    res = sampler(jax.random.key(90 + seed))
+    j_tokens = np.asarray(res.samples)
+    assert (j_tokens != 4).all() and (t_tokens != 4).all()
+    t_medians.append(np.median(score(t_tokens)))
+    j_medians.append(np.median(score(j_tokens)))
+    ess_mins.append(float(np.asarray(res.extra['ess']).min()))
+  spread = max(np.std(t_medians), np.std(j_medians), 1e-3)
+  assert abs(np.mean(j_medians) - np.mean(t_medians)) < \
+      max(4 * spread, 0.15), (
+          f'TDS learned-net medians diverged: jax {j_medians} vs '
+          f'torch {t_medians} (ESS mins {ess_mins})')
+
+
+def test_dps_learned_enformer_reward_matches_reference(harness,
+                                                       learned_nets):
+  """DPS differentiating through the LEARNED Enformer-trunk reward
+  (conv tower + attention pools + transformer + BatchNorm stats in the
+  in-scan gradient) — the gradient-path completion of the learned-net
+  e2e set."""
+  h, nets = harness, learned_nets
+  reward_pair = (lambda vars_, oh: nets.enf_model.apply(vars_, oh),
+                 nets.enf_vars)
+  sampler = h.jmodel.dps_sampler(reward_pair, B, guidance_scale=20.0,
+                                 num_steps=STEPS)
+  torch.manual_seed(11)
+  np.random.seed(11)
+  t_tokens = tdm.decode(h.tden, 'dps', B, L, STEPS,
+                        reward_fn=_torch_net_value(nets.enf_mirror),
+                        guidance_scale=20.0)
+  j_tokens = np.asarray(sampler(jax.random.key(5)).samples)
+  assert (j_tokens != 4).all() and (np.asarray(t_tokens) != 4).all()
+  score = _jax_net_scorer(nets.enf_model, nets.enf_vars)
+  _assert_distributions_agree(score(j_tokens),
+                              score(np.asarray(t_tokens)),
+                              'DPS learned Enformer')
+
+
 def test_svdd_pm_learned_enformer_reward_matches_reference(
     harness, learned_nets):
   """SVDD-PM (Tweedie) with a LEARNED Enformer-trunk reward net — the
