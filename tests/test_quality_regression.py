@@ -103,10 +103,12 @@ def test_demo_artifact_ordering_dna():
   a ~30% regression). Committed hardware runs and their q50 lifts
   over each run's own baseline:
     run 1 (r4, log/demo_dna_pipeline.json):      MC 12.41, PM 9.51
-    run 2 (r5, .run2, independent seed_offset):  MC 11.12, PM 7.75
-  Pooled means: MC 11.77, PM 8.63. Bands = pooled mean -30%/+40%, so
-  a 30% lift regression now FAILS while honest run-to-run spread
-  (~10%) passes. Regenerate with scripts/demo_dna_pipeline.py
+    run 2 (r5, .run2, seed_offset 100):          MC 11.12, PM 7.75
+    run 3 (r5, .run3, seed_offset 200):          MC  9.34, PM 7.49
+  Pooled means: MC 10.96, PM 8.25 (run-to-run spread ~±13%; pooling
+  3 runs cuts the mean's noise to ~±8%). Bands = pooled mean
+  -30%/+40%, so a 30% lift regression FAILS while honest spread
+  passes. Regenerate with scripts/demo_dna_pipeline.py
   [--suffix .runN --seed_offset 100*N] on the TPU."""
   runs = []
   for suffix in ('', '.run2', '.run3'):
@@ -122,8 +124,8 @@ def test_demo_artifact_ordering_dna():
   pm_lifts = [_q50(pm['decoding']) - _q50(mc['baseline'])
               for mc, pm in runs]
   mc_lift, pm_lift = float(np.mean(mc_lifts)), float(np.mean(pm_lifts))
-  assert 0.7 * 11.77 < mc_lift < 1.4 * 11.77, (mc_lifts, pm_lifts)
-  assert 0.7 * 8.63 < pm_lift < 1.4 * 8.63, (mc_lifts, pm_lifts)
+  assert 0.7 * 10.96 < mc_lift < 1.4 * 10.96, (mc_lifts, pm_lifts)
+  assert 0.7 * 8.25 < pm_lift < 1.4 * 8.25, (mc_lifts, pm_lifts)
 
 
 def test_demo_artifact_scheduled_m_dna():
