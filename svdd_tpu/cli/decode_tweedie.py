@@ -20,6 +20,12 @@ def run(args) -> None:
   diffusion = common.load_diffusion(args, cfg)
   reward_fn = common.load_reward_fn(args, cfg)
 
+  m_schedule = None
+  if getattr(args, 'm_schedule', None):
+    m_schedule = tuple(
+        tuple(int(v) for v in part.split(':'))
+        for part in args.m_schedule.split(','))
+
   t0 = time.perf_counter()
   result = run_decode(
       diffusion, reward_fn,
@@ -30,6 +36,7 @@ def run(args) -> None:
       tweedie=str(args.tweedie) == 'True',
       seed=args.seed,
       skip_best_of_n=args.skip_best_of_n,
+      m_schedule=m_schedule,
       task=cfg.task,
       saluki_body=common.load_saluki_body(args),
       saluki_final_length=args.saluki_final_length,
@@ -37,6 +44,8 @@ def run(args) -> None:
   common.finish_run(args, result, '_tw',
                     extra_metrics={'algo': 'svdd_pm',
                                    'tweedie': str(args.tweedie),
+                                   'm_schedule': getattr(
+                                       args, 'm_schedule', None),
                                    'wall_s': time.perf_counter() - t0})
 
 
@@ -45,6 +54,11 @@ def main() -> None:
   parser.add_argument('--tweedie', type=str, default='True',
                       help="'True' = posterior mean; else mask-to-zero "
                            'heuristic (decode_tweedie.py --tweedie)')
+  parser.add_argument(
+      '--m_schedule', type=str, default=None,
+      help='opt-in scheduled-M phases "96:10,32:4" (see decode '
+           '--m_schedule; both the candidate denoiser and reward '
+           'forwards scale with M here)')
   run(parser.parse_args())
 
 
