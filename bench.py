@@ -221,8 +221,8 @@ def build_workload(batch_size: int, sample_m: int, steps: int,
     # algorithmic saving). Only MC/PM support schedules — parsed
     # BEFORE the algo dispatch so PM actually gets it (an r5 bench
     # briefly emitted a PM row labeled scheduled that wasn't).
-    m_schedule = tuple(tuple(int(v) for v in part.split(':'))
-                       for part in sched_env.split(','))
+    from svdd_tpu.utils import parse_m_schedule
+    m_schedule = parse_m_schedule(sched_env)
   if algo == 'svdd_pm':
     # Tweedie path (reference decode_tweedie.py): +1 denoiser fwd on
     # (B*M) per step
@@ -635,12 +635,17 @@ def main() -> None:
     # cross-check only (not used in vs_baseline): XLA-counted FLOPs of
     # OUR executable, to make the analytic-vs-implementation gap
     # visible in the bench log
-    flops = estimate_flops(sampler, key)
-    if flops > 0:
-      ours_seq = flops * args.steps / args.batch_size
-      phase(f'cross-check: XLA counts our executable at '
-            f'{ours_seq/1e12:.3f} TFLOP/seq/decode vs analytic '
-            f'reference {ref_seq_flops/1e12:.3f}')
+    if os.environ.get('SVDD_BENCH_M_SCHEDULE'):
+      phase('cross-check skipped: XLA cost analysis counts each '
+            'phase body once, so flops*steps over-counts a '
+            'scheduled-M program (~2x for two equal phases)')
+    else:
+      flops = estimate_flops(sampler, key)
+      if flops > 0:
+        ours_seq = flops * args.steps / args.batch_size
+        phase(f'cross-check: XLA counts our executable at '
+              f'{ours_seq/1e12:.3f} TFLOP/seq/decode vs analytic '
+              f'reference {ref_seq_flops/1e12:.3f}')
 
   sched_env = os.environ.get('SVDD_BENCH_M_SCHEDULE')
   if sched_env and args.algo not in ('svdd_mc', 'svdd_pm'):

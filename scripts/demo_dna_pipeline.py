@@ -201,8 +201,8 @@ rows = {
 if ARGS.m_schedule:
   # scheduled-M SVDD-MC under the SAME trained nets: the quality gate
   # for the frontier candidate (VERDICT r4 item 2)
-  msched = tuple(tuple(int(v) for v in part.split(':'))
-                 for part in ARGS.m_schedule.split(','))
+  from svdd_tpu.utils import parse_m_schedule
+  msched = parse_m_schedule(ARGS.m_schedule)
   mcs = run_decode(model, oracle_pair, algo='svdd_mc',
                    value_fn=(value_apply, value_vars),
                    gen_batch_num=1, batch_size=B, sample_M=10,

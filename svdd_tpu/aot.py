@@ -47,7 +47,7 @@ MAGIC = b'SVDDX001'
 # Bump whenever the traced sampler PROGRAMS change (new fusion, reuse
 # path, kernel swap, ...): it salts the decode AOT-cache key so stale
 # artifacts from older program versions are never served.
-PROGRAM_REV = 3   # r5: TDS aux carries the ESS telemetry dict
+PROGRAM_REV = 4   # r5: TDS aux dict carries 'i'; adaptive terminal resample
 
 # Pytree node types appearing in sampler signatures must be registered
 # for serialization (jax.export pins arg/result treedefs in the

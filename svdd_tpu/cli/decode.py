@@ -24,13 +24,10 @@ def run(args) -> None:
   reward_fn = common.load_reward_fn(args, cfg)
   vf = common.load_value_function(args, cfg)
 
-  m_schedule = None
-  if getattr(args, 'm_schedule', None):
-    # "64:4,64:10" -> ((64, 4), (64, 10)); phase lengths must sum to
-    # the step count (validated in sampler.reverse_process)
-    m_schedule = tuple(
-        tuple(int(v) for v in part.split(':'))
-        for part in args.m_schedule.split(','))
+  from svdd_tpu.utils import parse_m_schedule
+  # phase lengths must also sum to the step count (validated in
+  # sampler.reverse_process)
+  m_schedule = parse_m_schedule(getattr(args, 'm_schedule', None))
 
   t0 = time.perf_counter()
   result = run_decode(

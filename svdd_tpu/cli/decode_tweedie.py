@@ -20,11 +20,8 @@ def run(args) -> None:
   diffusion = common.load_diffusion(args, cfg)
   reward_fn = common.load_reward_fn(args, cfg)
 
-  m_schedule = None
-  if getattr(args, 'm_schedule', None):
-    m_schedule = tuple(
-        tuple(int(v) for v in part.split(':'))
-        for part in args.m_schedule.split(','))
+  from svdd_tpu.utils import parse_m_schedule
+  m_schedule = parse_m_schedule(getattr(args, 'm_schedule', None))
 
   t0 = time.perf_counter()
   result = run_decode(

@@ -55,7 +55,7 @@ def _live_taps(k_taps: int, dilation: int, length: int) -> list[int]:
           if -length < k * dilation - half < length]
 
 
-def _split_edge_min(offsets: tuple, l: int) -> int:
+def _split_edge_min(offsets: tuple, l: int, force: str = '') -> int:
   """Split threshold for the tap-waste optimization (fwd AND bwd):
   when a layer's wide tap-stacked dots would discard >30% of their row
   FLOPs (out[i] += tapout[i+off] uses only l-|off| of l rows per tap),
@@ -64,13 +64,25 @@ def _split_edge_min(offsets: tuple, l: int) -> int:
   (probe_dilation_layers.py:194, EDGE_DIV=4); at the flagship
   L=200/d=64 the classification is identical to the r4-shipped l//4+1
   — aligning removes the unprobed boundary case at shapes where an
-  offset equals exactly l/4 (ADVICE r4)."""
-  force = os.environ.get('SVDD_SPLIT_TAPS')     # probe A/B hook
+  offset equals exactly l/4 (ADVICE r4).
+
+  ``force`` is the probe A/B hook value ('0' = never split, '1' =
+  split whenever any waste). It is read from SVDD_SPLIT_TAPS OUTSIDE
+  the jitted kernels and threaded in as a static argument so the jit
+  cache key stays honest — flipping the env mid-process retraces
+  instead of silently serving the previous mode."""
   if force == '0':
     return l
   waste = sum(abs(o) for o in offsets) / max(len(offsets) * l, 1)
   return (l // 4) if (waste > 0.3 or force == '1'
                       and waste > 0) else l
+
+
+def _split_flags() -> tuple:
+  """(SVDD_SPLIT_TAPS, SVDD_SPLIT_WGRAD) read at CALL time by the
+  non-jitted public wrappers below."""
+  return (os.environ.get('SVDD_SPLIT_TAPS', ''),
+          os.environ.get('SVDD_SPLIT_WGRAD', '0'))
 
 
 def cnn_layer_reference(x: Array, bias_row: Array, ln_scale: Array,
@@ -100,7 +112,8 @@ def cnn_layer_reference(x: Array, bias_row: Array, ln_scale: Array,
 
 
 def _kernel(x_ref, br_ref, g_ref, b_ref, w_ref, cb_ref, o_ref, *,
-            offsets: tuple, eps: float, out_dtype):
+            offsets: tuple, eps: float, out_dtype,
+            split_force: str = ''):
   x = x_ref[:]                                    # (tn, l, c)
   tn, l, c = x.shape
   h = x.astype(jnp.float32) + br_ref[:].astype(jnp.float32)[:, None, :]
@@ -122,7 +135,7 @@ def _kernel(x_ref, br_ref, g_ref, b_ref, w_ref, cb_ref, o_ref, *,
   # BIT-EXACT either way: identical multiplies, f32 accumulation in
   # the identical tap order (probe exact=True on hardware at all
   # dilations).
-  edge_min = _split_edge_min(offsets, l)
+  edge_min = _split_edge_min(offsets, l, split_force)
   inner = [j for j, o in enumerate(offsets) if abs(o) < edge_min]
   y = None
   if inner:
@@ -178,12 +191,28 @@ def _pick_tile_n(n: int, l: int, c: int, k_live: int,
   return best
 
 
-@functools.partial(
-    jax.jit, static_argnames=('dilation', 'eps', 'interpret'))
 def cnn_layer_pallas(x: Array, bias_row: Array, ln_scale: Array,
                      ln_bias: Array, kernel: Array, conv_bias: Array,
                      dilation: int = 1, eps: float = 1e-6,
                      interpret: bool = False) -> Array:
+  """Public non-jitted wrapper: reads the SVDD_SPLIT_TAPS probe hook
+  at CALL time and threads it into the jit cache key (see
+  _split_edge_min)."""
+  return _cnn_layer_pallas_jit(x, bias_row, ln_scale, ln_bias, kernel,
+                               conv_bias, dilation=dilation, eps=eps,
+                               interpret=interpret,
+                               split_force=_split_flags()[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('dilation', 'eps', 'interpret', 'split_force'))
+def _cnn_layer_pallas_jit(x: Array, bias_row: Array, ln_scale: Array,
+                          ln_bias: Array, kernel: Array,
+                          conv_bias: Array,
+                          dilation: int = 1, eps: float = 1e-6,
+                          interpret: bool = False,
+                          split_force: str = '') -> Array:
   """relu(conv1d(LN(x + bias_row), kernel, dilation)) + x, fused.
 
   x (N, L, C); bias_row (N, C); ln_scale/ln_bias (C,);
@@ -201,7 +230,7 @@ def cnn_layer_pallas(x: Array, bias_row: Array, ln_scale: Array,
   tile_n = _pick_tile_n(n, l, c, len(live))
   grid = (n // tile_n,)
   body = functools.partial(_kernel, offsets=offsets, eps=eps,
-                           out_dtype=x.dtype)
+                           out_dtype=x.dtype, split_force=split_force)
   return pl.pallas_call(
       body,
       grid=grid,
@@ -236,7 +265,8 @@ def cnn_layer_pallas(x: Array, bias_row: Array, ln_scale: Array,
 
 def _bwd_kernel(x_ref, br_ref, g_ref, b_ref, w_ref, wt_ref, cb_ref,
                 ct_ref, dx_ref, dbr_ref, dw_ref, dg_ref, db_ref,
-                dcb_ref, *, offsets: tuple, eps: float):
+                dcb_ref, *, offsets: tuple, eps: float,
+                split_force: str = '', split_wgrad: bool = False):
   """Full layer backward in one pass over a (tn, l, c) block.
 
   Recomputes h/acc with the EXACT forward-kernel math (same per-slab
@@ -282,7 +312,7 @@ def _bwd_kernel(x_ref, br_ref, g_ref, b_ref, w_ref, wt_ref, cb_ref,
   # at d=64/(256,200,128): 1.28 -> 1.03 ms
   # (scripts/probe_bwd_split.py r5). wgrad keeps the wide form — see
   # the split_wgrad note below.
-  edge_min = _split_edge_min(offsets, l)
+  edge_min = _split_edge_min(offsets, l, split_force)
   inner = [j for j, o in enumerate(offsets) if abs(o) < edge_min]
 
   def _cols(ref, j):
@@ -369,7 +399,6 @@ def _bwd_kernel(x_ref, br_ref, g_ref, b_ref, w_ref, wt_ref, cb_ref,
   # r5) AND not bit-exact (contracting fewer rows regroups the MXU
   # accumulation: dkernel rel diff 1.3e-3). SVDD_SPLIT_WGRAD=1 keeps
   # the measured-negative path reachable for probes.
-  split_wgrad = os.environ.get('SVDD_SPLIT_WGRAD', '0') == '1'
   for j, off in enumerate(offsets):
     if j in inner or not split_wgrad:
       ds = shift(dacc, -off).astype(x.dtype).reshape(tn * l, c)
@@ -416,12 +445,34 @@ def _pick_tile_n_bwd(n: int, l: int, c: int, k_live: int,
   return best
 
 
-@functools.partial(
-    jax.jit, static_argnames=('dilation', 'eps', 'interpret'))
 def cnn_layer_bwd_pallas(x: Array, bias_row: Array, ln_scale: Array,
                          ln_bias: Array, kernel: Array,
                          conv_bias: Array, ct: Array, dilation: int = 1,
                          eps: float = 1e-6, interpret: bool = False):
+  """Public non-jitted wrapper: reads the SVDD_SPLIT_TAPS /
+  SVDD_SPLIT_WGRAD probe hooks at CALL time and threads them into the
+  jit cache key (see _split_edge_min)."""
+  taps, wgrad = _split_flags()
+  return _cnn_layer_bwd_pallas_jit(x, bias_row, ln_scale, ln_bias,
+                                   kernel, conv_bias, ct,
+                                   dilation=dilation, eps=eps,
+                                   interpret=interpret,
+                                   split_force=taps,
+                                   split_wgrad=wgrad == '1')
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('dilation', 'eps', 'interpret', 'split_force',
+                     'split_wgrad'))
+def _cnn_layer_bwd_pallas_jit(x: Array, bias_row: Array,
+                              ln_scale: Array, ln_bias: Array,
+                              kernel: Array, conv_bias: Array,
+                              ct: Array, dilation: int = 1,
+                              eps: float = 1e-6,
+                              interpret: bool = False,
+                              split_force: str = '',
+                              split_wgrad: bool = False):
   """Pallas VJP of cnn_layer_pallas: one fused kernel per block does
   forward-recompute (relu mask), dgrad, wgrad, and LN backward.
 
@@ -447,7 +498,9 @@ def cnn_layer_bwd_pallas(x: Array, bias_row: Array, ln_scale: Array,
   w = jnp.concatenate([kernel[k] for k in live], axis=1)
   wt = jnp.concatenate([kernel[k].T for k in live], axis=1)
   grid = (n // tile_n,)
-  body = functools.partial(_bwd_kernel, offsets=offsets, eps=eps)
+  body = functools.partial(_bwd_kernel, offsets=offsets, eps=eps,
+                           split_force=split_force,
+                           split_wgrad=split_wgrad)
   dx, dbr, dw, dg, db, dcb = pl.pallas_call(
       body,
       grid=grid,

@@ -256,14 +256,18 @@ def tds_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
 
   ``ess_threshold`` (opt-in, fraction of B): ADAPTIVE resampling —
   standard SMC practice: accumulate log-weights across steps and
-  resample only when ESS < ess_threshold * B, resetting weights to
-  uniform after each resample. The reference's always-resample
-  behaviour (the default, ess_threshold=None) is the special case
-  where the weight memory is discarded every step; ess_threshold=1.0
-  fires every step whenever weights are non-uniform and is then
-  draw-for-draw identical to the default (pinned by
-  test_tds_adaptive_threshold_one_matches_default). The RNG stream is
-  identical in both modes (jax.random.choice is always evaluated).
+  resample only when ESS <= ess_threshold * B, resetting weights to
+  uniform after each resample. The FINAL step always resamples: the
+  accumulated weights must be realized before the trajectory ends, or
+  the returned batch would be a weighted particle set silently
+  presented as unweighted samples (r5 review finding). The
+  reference's always-resample behaviour (the default,
+  ess_threshold=None) is the special case where the weight memory is
+  discarded every step; ess_threshold=1.0 fires every step whenever
+  weights are non-uniform and is then draw-for-draw identical to the
+  default (pinned by test_tds_adaptive_threshold_one_matches_default).
+  The RNG stream is identical in both modes (jax.random.choice is
+  always evaluated).
 
   aux layout: plain tuple (log_p, valid) / () as before unless
   track_ess or ess_threshold is set, in which case aux is a dict
@@ -273,8 +277,9 @@ def tds_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
   removal_from_aux.
   """
   use_dict = track_ess or ess_threshold is not None
-  if track_ess and num_steps is None:
-    raise ValueError('track_ess requires num_steps for the ESS buffer')
+  if use_dict and num_steps is None:
+    raise ValueError('track_ess / ess_threshold require num_steps '
+                     '(ESS buffer size + terminal-resample index)')
 
   def step(aux, x, t, t_next, key):
     b, l = x.shape
@@ -312,8 +317,11 @@ def tds_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
       # <= so ess_threshold=1.0 fires even at exactly-uniform weights
       # (ESS == B on early all-mask steps where every reward ties) —
       # that makes 1.0 draw-for-draw identical to the reference's
-      # always-resample bootstrap
-      fire = ess <= ess_threshold * b
+      # always-resample bootstrap. The LAST step always fires:
+      # accumulated weights must be realized as a resample before the
+      # trajectory ends, or the returned batch would be a weighted
+      # particle set silently presented as unweighted samples.
+      fire = (ess <= ess_threshold * b) | (aux['i'] >= num_steps - 1)
       take = jnp.where(fire, idx, jnp.arange(b))
     x_next = sample[take]
     post_next = ((log_p_sample[take], jnp.asarray(True))
@@ -323,7 +331,7 @@ def tds_step(denoise_fn: DenoiseFn, reward_fn: RewardFn,
     aux_next = dict(aux, post=post_next)
     if track_ess:
       aux_next['ess'] = aux['ess'].at[aux['i']].set(ess)
-      aux_next['i'] = aux['i'] + 1
+    aux_next['i'] = aux['i'] + 1
     if ess_threshold is not None:
       aux_next['log_w'] = jnp.where(fire, jnp.zeros_like(log_w),
                                     log_w)[take]
@@ -339,10 +347,10 @@ def tds_aux_init(batch_size: int, posterior_init,
   """Initial aux for tds_step matching its layout contract."""
   if not (track_ess or ess_threshold is not None):
     return posterior_init
-  aux = {'post': posterior_init}
+  aux = {'post': posterior_init,
+         'i': jnp.asarray(0, jnp.int32)}
   if track_ess:
     aux['ess'] = jnp.zeros((num_steps,), jnp.float32)
-    aux['i'] = jnp.asarray(0, jnp.int32)
   if ess_threshold is not None:
     aux['log_w'] = jnp.zeros((batch_size,), jnp.float32)
   return aux

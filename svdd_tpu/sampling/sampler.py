@@ -171,6 +171,12 @@ def reverse_process(
   timesteps = timestep_grid(num_steps, eps)
   phases = step_fn if isinstance(step_fn, (list, tuple)) else \
       [(step_fn, num_steps)]
+  if any(n < 1 for _, n in phases):
+    # a negative length can still satisfy the sum check while pushing
+    # another phase past the timestep grid (clamped indexing would
+    # silently corrupt the trajectory)
+    raise ValueError(f'phase lengths must be >= 1: '
+                     f'{[n for _, n in phases]}')
   if sum(n for _, n in phases) != num_steps:
     raise ValueError(f'phase lengths {[n for _, n in phases]} do not '
                      f'sum to num_steps={num_steps}')

@@ -36,6 +36,28 @@ def cpu_host_fingerprint() -> str:
   return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
+def parse_m_schedule(spec):
+  """Parse a scheduled-M spec "96:10,32:4" into ((96, 10), (32, 4)).
+
+  One validated parser shared by the decode CLIs, bench, and the demo
+  pipeline (previously four copy-pasted parsers whose typos surfaced
+  only as opaque unpack errors at trace time). None/'' -> None."""
+  if not spec:
+    return None
+  phases = []
+  for part in str(spec).split(','):
+    pieces = part.split(':')
+    if len(pieces) != 2:
+      raise ValueError(
+          f'm_schedule phase {part!r} must be "steps:M" (got {spec!r})')
+    n, m = (int(v) for v in pieces)
+    if n < 1 or m < 1:
+      raise ValueError(f'm_schedule phase {part!r}: steps and M must '
+                       'be >= 1')
+    phases.append((n, m))
+  return tuple(phases)
+
+
 def get_logger(name: str = 'svdd_tpu') -> logging.Logger:
   """Process-zero-only logger (utils.py:96-111 is rank-zero via
   lightning; here process_index gates it)."""

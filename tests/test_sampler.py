@@ -207,8 +207,9 @@ def test_tds_adaptive_threshold_one_matches_default(model, reward_fn):
 
 
 def test_tds_adaptive_resampling_runs_and_accumulates(model, reward_fn):
-  """With a threshold under 1/B the resample never fires (ESS >= 1):
-  weights accumulate across steps and the output is still mask-free."""
+  """With a threshold under 1/B the resample never fires mid-run
+  (ESS >= 1): weights accumulate across steps and the output is still
+  mask-free."""
   guided = model.tds_sampler(reward_fn, B, alpha=0.5,
                              ess_threshold=1e-6 / B)
   res = guided(jax.random.key(32))
@@ -217,6 +218,25 @@ def test_tds_adaptive_resampling_runs_and_accumulates(model, reward_fn):
   ess = np.asarray(res.extra['ess'])
   # accumulated non-uniform weights: late-step ESS below B
   assert ess[-1] < B - 1e-3
+
+
+def test_tds_adaptive_terminal_resample_realizes_weights(model,
+                                                         reward_fn):
+  """The LAST step must resample regardless of threshold: with a
+  never-fire-mid-run threshold and an extreme alpha the accumulated
+  weights concentrate on a few ancestors, and the terminal resample
+  must realize that as duplicated rows (without it the output would be
+  the unguided proposal batch presented as TDS output)."""
+  guided = model.tds_sampler(reward_fn, B, alpha=0.01,
+                             ess_threshold=1e-6 / B)
+  res = guided(jax.random.key(33))
+  x = np.asarray(res.samples)
+  assert (x >= 0).all() and (x < 4).all()
+  ess = np.asarray(res.extra['ess'])
+  assert ess[-1] < 2.0, f'alpha=0.01 should concentrate weights: {ess}'
+  # concentrated weights + terminal resample => duplicated lineages
+  assert len(np.unique(x, axis=0)) < B, (
+      'terminal resample did not realize the accumulated weights')
 
 
 def test_svdd_pm_heuristic_runs(model, reward_fn):
